@@ -1,0 +1,119 @@
+"""Batched two-view DLT triangulation + acceptance gates.
+
+Replaces Initializer::triangulate / triangulatePoints
+(src/Initializer.cc:56-105, 170-328) and the per-match triangulation in
+LocalMapping::CreateNewMapPoints (src/LocalMapping.cc:346-492).
+
+The reference triangulates one match at a time with cv::SVD; here the
+whole match set is one batched 4x4 SVD (or the equivalent smallest-
+eigenvector problem of A^T A, which XLA maps well to the MXU).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+def projection_matrix(K: jnp.ndarray, Tcw: jnp.ndarray) -> jnp.ndarray:
+    """P = K [R|t] from intrinsics (3,3) and pose (..., 4, 4) -> (..., 3, 4)."""
+    return K @ Tcw[..., :3, :4]
+
+
+def triangulate_dlt(
+    P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray
+) -> jnp.ndarray:
+    """DLT triangulation of N correspondences.
+
+    P1, P2: (3, 4) projection matrices (or batched (..., 3, 4)).
+    uv1, uv2: (..., N, 2) undistorted pixel coords.
+    Returns world points (..., N, 3).
+
+    Same 4x4 SVD construction as Initializer::triangulate
+    (src/Initializer.cc:56-105), batched.  Rows are normalized first for
+    float32 conditioning.
+    """
+    def rows(P, uv):
+        r0 = uv[..., 0:1] * P[..., 2, :] - P[..., 0, :]
+        r1 = uv[..., 1:2] * P[..., 2, :] - P[..., 1, :]
+        return r0, r1
+
+    a0, a1 = rows(P1[..., None, :, :], uv1)
+    a2, a3 = rows(P2[..., None, :, :], uv2)
+    A = jnp.stack([a0, a1, a2, a3], axis=-2)  # (..., N, 4, 4)
+    A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
+    # Smallest right-singular vector of A == eigenvector of A^T A with
+    # smallest eigenvalue. eigh on 4x4 symmetric batches is fast + stable.
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    X = vecs[..., :, 0]  # ascending eigenvalues -> first column
+    w = X[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return X[..., :3] / w[..., None]
+
+
+class TriangulationCheck(NamedTuple):
+    good: jnp.ndarray        # (N,) bool — passes all gates
+    parallax_cos: jnp.ndarray  # (N,) cosine of triangulation angle
+
+
+def check_triangulation(
+    pts_w: jnp.ndarray,
+    Tcw1: jnp.ndarray,
+    Tcw2: jnp.ndarray,
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    sigma2_1: jnp.ndarray,
+    sigma2_2: jnp.ndarray,
+    reproj_chi2: float = 5.991,
+    min_parallax_cos: float = 0.99998,
+) -> TriangulationCheck:
+    """Per-point acceptance gates, mirroring src/Initializer.cc:233-322
+    and src/LocalMapping.cc:380-470:
+
+    - finite coordinates
+    - positive depth in both views
+    - reprojection error <= chi2 * sigma^2 in both views
+    - parallax angle above threshold (cos below ``min_parallax_cos``)
+
+    ``sigma2_*`` is the per-keypoint level variance (scaleFactor^2level).
+    """
+    def cam_pt(Tcw):
+        R, t = Tcw[..., :3, :3], Tcw[..., :3, 3]
+        return jnp.einsum("ij,nj->ni", R, pts_w) + t
+
+    pc1, pc2 = cam_pt(Tcw1), cam_pt(Tcw2)
+    z1, z2 = pc1[..., 2], pc2[..., 2]
+
+    def reproj_err2(pc, uv):
+        inv_z = 1.0 / jnp.where(jnp.abs(pc[..., 2]) < 1e-12, 1e-12, pc[..., 2])
+        u = fx * pc[..., 0] * inv_z + cx
+        v = fy * pc[..., 1] * inv_z + cy
+        du, dv = u - uv[..., 0], v - uv[..., 1]
+        return du * du + dv * dv
+
+    e1 = reproj_err2(pc1, uv1)
+    e2 = reproj_err2(pc2, uv2)
+
+    o1 = -jnp.einsum("ij,j->i", Tcw1[:3, :3].T, Tcw1[:3, 3])
+    o2 = -jnp.einsum("ij,j->i", Tcw2[:3, :3].T, Tcw2[:3, 3])
+    r1 = pts_w - o1
+    r2 = pts_w - o2
+    n1 = jnp.linalg.norm(r1, axis=-1)
+    n2 = jnp.linalg.norm(r2, axis=-1)
+    cos_par = jnp.sum(r1 * r2, axis=-1) / (n1 * n2 + 1e-12)
+
+    good = (
+        jnp.all(jnp.isfinite(pts_w), axis=-1)
+        & (z1 > 0)
+        & (z2 > 0)
+        & (e1 <= reproj_chi2 * sigma2_1)
+        & (e2 <= reproj_chi2 * sigma2_2)
+        & (cos_par < min_parallax_cos)
+        & (cos_par > -1.0 + 1e-6)
+    )
+    return TriangulationCheck(good=good, parallax_cos=cos_par)
