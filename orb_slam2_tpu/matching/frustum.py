@@ -6,8 +6,10 @@ MapPoint::PredictScale (src/MapPoint.cc:593-637).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -19,6 +21,7 @@ class FrustumResult(NamedTuple):
     depth: jnp.ndarray       # (P,) camera-frame z
 
 
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale_factor", "view_cos_limit"))
 def is_in_frustum(
     pts_w: jnp.ndarray,
     normals: jnp.ndarray,

@@ -8,6 +8,9 @@ candidate keypoints of the target frame.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from . import core
@@ -25,6 +28,7 @@ def _chebyshev_window_mask(xy1: jnp.ndarray, xy2: jnp.ndarray, radius) -> jnp.nd
     return (dx <= r) & (dy <= r)
 
 
+@functools.partial(jax.jit, static_argnames=("window", "ratio", "check_rotation"))
 def search_for_initialization(
     xy1, desc1, valid1, octave1, angle1,
     xy2, desc2, valid2, octave2, angle2,
@@ -50,6 +54,7 @@ def search_for_initialization(
     return MatchResult(res.idx, res.dist, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("th", "ratio"))
 def search_by_projection_local_map(
     uv_proj, pred_level, view_cos, mp_desc, mp_valid,
     kp_xy, kp_octave, kp_desc, kp_valid, kp_has_mp,
@@ -94,6 +99,7 @@ def search_by_projection_local_map(
     return MatchResult(res.idx, res.dist, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("th", "check_rotation"))
 def search_by_projection_last_frame(
     uv_proj, last_octave, mp_desc, mp_valid, mp_angle,
     kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
@@ -124,6 +130,7 @@ def search_by_projection_last_frame(
     return MatchResult(res.idx, res.dist, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("ratio", "check_rotation", "max_dist"))
 def search_descriptors(
     desc1, valid1, angle1, node1,
     desc2, valid2, angle2, node2,
@@ -164,6 +171,7 @@ def epipolar_distance_sq(xy1, xy2, F12) -> jnp.ndarray:
     return (num * num) / jnp.maximum(den, 1e-12)
 
 
+@functools.partial(jax.jit, static_argnames=("check_rotation", "epi_chi2"))
 def search_for_triangulation(
     xy1, desc1, valid1, octave1, angle1, node1,
     xy2, desc2, valid2, octave2, angle2, node2,

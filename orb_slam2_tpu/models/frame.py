@@ -1,0 +1,101 @@
+"""Per-image measurement container + jitted construction.
+
+Replaces src/Frame.cc: ORB extraction, keypoint undistortion, and the
+static camera setup (src/Frame.cc:111-216, 502-597).  The 64x48
+feature grid of the reference is not needed — spatial windowing happens
+as dense masks inside the search ops.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom import camera as camera_mod
+from ..ops import extractor as ex
+
+
+@dataclass
+class Frame:
+    frame_id: int
+    timestamp: float
+    # SoA feature data (numpy on host; ship to device per stage)
+    xy: np.ndarray        # (N, 2) float32 — UNDISTORTED pixel coords
+    xy_raw: np.ndarray    # (N, 2) float32 — raw detector coords
+    response: np.ndarray  # (N,)
+    angle: np.ndarray     # (N,)
+    octave: np.ndarray    # (N,) int32
+    desc: np.ndarray      # (N, 8) uint32
+    valid: np.ndarray     # (N,) bool
+    Tcw: np.ndarray       # (4, 4) float64-precision float32
+    mp_ids: np.ndarray    # (N,) int32 — bound map point id, -1 if none
+    mp_outlier: np.ndarray  # (N,) bool — flagged by pose optimization
+
+    @property
+    def n(self) -> int:
+        return self.xy.shape[0]
+
+    def n_tracked(self) -> int:
+        return int(((self.mp_ids >= 0) & ~self.mp_outlier).sum())
+
+
+class FrameFactory:
+    """Builds Frames with a cached jitted extract+undistort pipeline.
+
+    Mirrors the Frame constructor flow (src/Frame.cc:111-188): extract
+    ORB -> undistort keypoints; intrinsics/undistorted-bounds computed
+    once (the reference's mbInitialComputations)."""
+
+    def __init__(self, cam: camera_mod.Intrinsics, params: ex.OrbParams,
+                 init_params: ex.OrbParams | None = None):
+        self.cam = cam
+        self.params = params
+        # 2x feature budget during initialization (src/Tracking.cc:182-189,
+        # 219-234)
+        self.init_params = init_params or params._replace(
+            n_features=2 * params.n_features)
+        self.bounds = camera_mod.undistorted_bounds(cam)
+        self._next_id = 0
+        self.sigma2 = ex.level_sigma2(params)
+        self.inv_sigma2 = (1.0 / self.sigma2).astype(np.float32)
+        self.scale_factors = ex.pyramid.scale_factors(
+            params.n_levels, params.scale_factor)[0]
+
+    @functools.lru_cache(maxsize=4)
+    def _pipeline(self, h: int, w: int, init: bool):
+        cam = self.cam
+        params = self.init_params if init else self.params
+
+        @jax.jit
+        def run(image):
+            feats = ex.extract(image, params)
+            und = camera_mod.undistort_points(cam, feats.xy)
+            return feats, und
+
+        return run
+
+    def make(self, image: np.ndarray, timestamp: float = 0.0,
+             Tcw: np.ndarray | None = None, init_mode: bool = False) -> Frame:
+        """image: (H, W) uint8/float32 grayscale."""
+        img = jnp.asarray(np.asarray(image, dtype=np.float32))
+        feats, und = self._pipeline(img.shape[0], img.shape[1], init_mode)(img)
+        fid = self._next_id
+        self._next_id += 1
+        n = feats.xy.shape[0]
+        return Frame(
+            frame_id=fid,
+            timestamp=timestamp,
+            xy=np.asarray(und),
+            xy_raw=np.asarray(feats.xy),
+            response=np.asarray(feats.response),
+            angle=np.asarray(feats.angle),
+            octave=np.asarray(feats.octave),
+            desc=np.asarray(feats.desc),
+            valid=np.asarray(feats.valid),
+            Tcw=np.eye(4, dtype=np.float32) if Tcw is None else np.asarray(Tcw, np.float32),
+            mp_ids=np.full(n, -1, np.int32),
+            mp_outlier=np.zeros(n, bool),
+        )

@@ -1,0 +1,355 @@
+"""The global map: keyframes + map points + covisibility + spanning tree.
+
+Replaces src/Map.cc, src/MapPoint.cc, src/KeyFrame.cc (the graph parts).
+Everything here is host-side numpy/python — these are pointer-graph
+mutations the reference protects with 10+ mutexes; in our deterministic
+pipeline they are plain single-threaded updates, and the bulk arrays are
+shipped to device per jitted stage.
+
+Conventions: keyframes and map points are identified by dense integer
+ids (their slot).  Erased entries keep their slot with valid=False —
+ids are never reused, matching the reference's monotonically increasing
+mnId behavior.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+from .frame import Frame
+
+COVIS_THRESHOLD = 15  # shared-observation threshold (src/KeyFrame.cc:396-520)
+
+
+def hamming_np(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+    """Host popcount Hamming for small sets: (A, 8) x (B, 8) -> (A, B)."""
+    x = np.bitwise_xor(d1[:, None, :], d2[None, :, :])
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+@dataclass
+class KeyFrame:
+    kid: int
+    frame: Frame                 # owns the SoA feature data + mp_ids
+    Tcw: np.ndarray              # (4, 4) — authoritative pose (frame.Tcw is stale)
+    # spanning tree + loop edges (src/KeyFrame.h:146-191)
+    parent: int = -1
+    children: Set[int] = field(default_factory=set)
+    loop_edges: Set[int] = field(default_factory=set)
+    first_connection: bool = True
+    valid: bool = True
+    not_erase: bool = False      # loop-closing protection (SetNotErase)
+    to_be_erased: bool = False
+    # Tcp: pose relative to parent at erase time (for trajectory recovery)
+    Tcp: Optional[np.ndarray] = None
+    # scratch for GBA propagation (mTcwGBA / mTcwBefGBA)
+    Tcw_gba: Optional[np.ndarray] = None
+    Tcw_before_gba: Optional[np.ndarray] = None
+    ba_global_for_kf: int = -1
+
+
+class MapStore:
+    def __init__(self):
+        # --- map points (SoA, grown by append) ---
+        self.mp_pos: List[np.ndarray] = []        # (3,)
+        self.mp_desc: List[np.ndarray] = []       # (8,) uint32
+        self.mp_normal: List[np.ndarray] = []     # (3,)
+        self.mp_min_dist: List[float] = []
+        self.mp_max_dist: List[float] = []
+        self.mp_valid: List[bool] = []
+        self.mp_obs: List[Dict[int, int]] = []    # pid -> {kid: feat_idx}
+        self.mp_first_kf: List[int] = []
+        self.mp_n_visible: List[int] = []
+        self.mp_n_found: List[int] = []
+        self.mp_replaced_by: List[int] = []       # -1 or target pid
+        self.mp_first_frame: List[int] = []
+
+        # --- keyframes ---
+        self.kfs: List[KeyFrame] = []
+        # covisibility weights: dict kid -> dict kid -> weight
+        self.covis: List[Dict[int, int]] = []
+
+        self.max_kf_id = -1
+
+    # ------------------------------------------------------------------
+    # map points
+    # ------------------------------------------------------------------
+    def n_points(self) -> int:
+        return len(self.mp_pos)
+
+    def n_valid_points(self) -> int:
+        return int(np.sum(self.mp_valid))
+
+    def add_point(self, pos, desc, normal, min_dist, max_dist,
+                  first_kf: int, first_frame: int) -> int:
+        pid = len(self.mp_pos)
+        self.mp_pos.append(np.asarray(pos, np.float32))
+        self.mp_desc.append(np.asarray(desc, np.uint32))
+        self.mp_normal.append(np.asarray(normal, np.float32))
+        self.mp_min_dist.append(float(min_dist))
+        self.mp_max_dist.append(float(max_dist))
+        self.mp_valid.append(True)
+        self.mp_obs.append({})
+        self.mp_first_kf.append(first_kf)
+        self.mp_n_visible.append(1)
+        self.mp_n_found.append(1)
+        self.mp_replaced_by.append(-1)
+        self.mp_first_frame.append(first_frame)
+        return pid
+
+    def add_observation(self, pid: int, kid: int, feat_idx: int):
+        self.mp_obs[pid][kid] = feat_idx
+        self.kfs[kid].frame.mp_ids[feat_idx] = pid
+
+    def erase_observation(self, pid: int, kid: int):
+        """MapPoint::EraseObservation (src/MapPoint.cc:219-260): drop the
+        link; the point dies if it falls to <= 2 observations."""
+        idx = self.mp_obs[pid].pop(kid, None)
+        if idx is not None and self.kfs[kid].frame.mp_ids[idx] == pid:
+            self.kfs[kid].frame.mp_ids[idx] = -1
+        if len(self.mp_obs[pid]) <= 2:
+            self.erase_point(pid)
+
+    def erase_point(self, pid: int):
+        """MapPoint::SetBadFlag (src/MapPoint.cc:181-217)."""
+        if not self.mp_valid[pid]:
+            return
+        self.mp_valid[pid] = False
+        for kid, idx in list(self.mp_obs[pid].items()):
+            if self.kfs[kid].frame.mp_ids[idx] == pid:
+                self.kfs[kid].frame.mp_ids[idx] = -1
+        self.mp_obs[pid].clear()
+
+    def replace_point(self, old: int, new: int):
+        """MapPoint::Replace (src/MapPoint.cc:276-336): merge old into
+        new, transferring observations that new doesn't already have."""
+        if old == new or not self.mp_valid[old]:
+            return
+        for kid, idx in list(self.mp_obs[old].items()):
+            if kid not in self.mp_obs[new]:
+                self.mp_obs[new][kid] = idx
+                self.kfs[kid].frame.mp_ids[idx] = new
+            else:
+                if self.kfs[kid].frame.mp_ids[idx] == old:
+                    self.kfs[kid].frame.mp_ids[idx] = -1
+        self.mp_n_visible[new] += self.mp_n_visible[old]
+        self.mp_n_found[new] += self.mp_n_found[old]
+        self.mp_valid[old] = False
+        self.mp_replaced_by[old] = new
+        self.mp_obs[old].clear()
+        self.update_point_descriptor(new)
+        self.update_normal_and_depth(new)
+
+    def resolve_replaced(self, pid: int) -> int:
+        """Follow the Replace chain (Tracking::CheckReplacedMapPoints...,
+        src/Tracking.cc:581-597)."""
+        seen = 0
+        while pid >= 0 and self.mp_replaced_by[pid] >= 0 and seen < 100:
+            pid = self.mp_replaced_by[pid]
+            seen += 1
+        return pid
+
+    def update_point_descriptor(self, pid: int):
+        """MapPoint::ComputeDistinctiveDescriptors (src/MapPoint.cc:386-470):
+        the observed descriptor with minimum median distance to the rest."""
+        obs = self.mp_obs[pid]
+        if not obs:
+            return
+        descs = np.stack([self.kfs[k].frame.desc[i] for k, i in obs.items()])
+        if len(descs) == 1:
+            self.mp_desc[pid] = descs[0]
+            return
+        dist = hamming_np(descs, descs)
+        med = np.median(dist, axis=1)
+        self.mp_desc[pid] = descs[int(np.argmin(med))]
+
+    def update_normal_and_depth(self, pid: int):
+        """MapPoint::UpdateNormalAndDepth (src/MapPoint.cc:508-556)."""
+        obs = self.mp_obs[pid]
+        if not obs:
+            return
+        pos = self.mp_pos[pid]
+        normals = []
+        for kid in obs:
+            ow = self.kf_center(kid)
+            v = pos - ow
+            n = np.linalg.norm(v)
+            if n > 1e-9:
+                normals.append(v / n)
+        if not normals:
+            return
+        normal = np.mean(normals, axis=0)
+        nn = np.linalg.norm(normal)
+        if nn > 1e-9:
+            self.mp_normal[pid] = (normal / nn).astype(np.float32)
+        # scale band from the reference keyframe's observation level
+        ref_kf = self.mp_first_kf[pid]
+        if ref_kf not in obs:
+            ref_kf = next(iter(obs))
+        level = int(self.kfs[ref_kf].frame.octave[obs[ref_kf]])
+        dist = float(np.linalg.norm(pos - self.kf_center(ref_kf)))
+        sf = 1.2  # overwritten by pipeline config via set_scale_info
+        n_levels = 8
+        if hasattr(self, "_scale_factor"):
+            sf = self._scale_factor
+            n_levels = self._n_levels
+        self.mp_max_dist[pid] = dist * (sf ** level)
+        self.mp_min_dist[pid] = self.mp_max_dist[pid] / (sf ** (n_levels - 1))
+
+    def set_scale_info(self, scale_factor: float, n_levels: int):
+        self._scale_factor = scale_factor
+        self._n_levels = n_levels
+
+    def matched_ratio(self, pid: int) -> float:
+        return self.mp_n_found[pid] / max(self.mp_n_visible[pid], 1)
+
+    # ------------------------------------------------------------------
+    # keyframes
+    # ------------------------------------------------------------------
+    def n_keyframes(self) -> int:
+        return len(self.kfs)
+
+    def n_valid_keyframes(self) -> int:
+        return sum(kf.valid for kf in self.kfs)
+
+    def valid_kf_ids(self) -> List[int]:
+        return [kf.kid for kf in self.kfs if kf.valid]
+
+    def add_keyframe(self, frame: Frame) -> int:
+        kid = len(self.kfs)
+        self.kfs.append(KeyFrame(kid=kid, frame=frame,
+                                 Tcw=frame.Tcw.copy()))
+        self.covis.append({})
+        self.max_kf_id = kid
+        return kid
+
+    def kf_center(self, kid: int) -> np.ndarray:
+        T = self.kfs[kid].Tcw
+        return -T[:3, :3].T @ T[:3, 3]
+
+    def set_kf_pose(self, kid: int, Tcw: np.ndarray):
+        self.kfs[kid].Tcw = np.asarray(Tcw, np.float32)
+
+    def update_connections(self, kid: int):
+        """KeyFrame::UpdateConnections (src/KeyFrame.cc:396-520):
+        count shared map points, keep edges with weight >= 15 (always
+        keeping the single best), reciprocal update, pick the parent on
+        first insertion."""
+        counter: Dict[int, int] = {}
+        frame = self.kfs[kid].frame
+        for pid in frame.mp_ids:
+            if pid < 0 or not self.mp_valid[pid]:
+                continue
+            for other in self.mp_obs[pid]:
+                if other != kid:
+                    counter[other] = counter.get(other, 0) + 1
+        if not counter:
+            return
+        best_kf = max(counter, key=counter.get)
+        edges = {k: w for k, w in counter.items() if w >= COVIS_THRESHOLD}
+        if not edges:
+            edges = {best_kf: counter[best_kf]}
+        # reciprocal
+        old = set(self.covis[kid])
+        self.covis[kid] = dict(edges)
+        for k, w in edges.items():
+            self.covis[k][kid] = w
+        for k in old - set(edges):
+            self.covis[k].pop(kid, None)
+
+        kf = self.kfs[kid]
+        if kf.first_connection and kid != 0:
+            kf.parent = best_kf
+            self.kfs[best_kf].children.add(kid)
+            kf.first_connection = False
+
+    def get_covisibles_by_weight(self, kid: int, min_weight: int) -> List[int]:
+        return sorted(
+            (k for k, w in self.covis[kid].items()
+             if w >= min_weight and self.kfs[k].valid),
+            key=lambda k: -self.covis[kid][k])
+
+    def get_best_covisibles(self, kid: int, n: int) -> List[int]:
+        ranked = sorted(self.covis[kid].items(), key=lambda kv: -kv[1])
+        return [k for k, _ in ranked if self.kfs[k].valid][:n]
+
+    def erase_keyframe(self, kid: int):
+        """KeyFrame::EraseAndSetBad (src/KeyFrame.cc:611-697): drop
+        observations, reparent children to the best-covisible candidate
+        among (surviving parents), record Tcp."""
+        kf = self.kfs[kid]
+        if kid == 0 or not kf.valid:
+            return
+        if kf.not_erase:
+            kf.to_be_erased = True
+            return
+        # drop covisibility edges
+        for other in list(self.covis[kid]):
+            self.covis[other].pop(kid, None)
+        self.covis[kid].clear()
+        # drop observations
+        for i, pid in enumerate(kf.frame.mp_ids):
+            if pid >= 0 and self.mp_valid[pid]:
+                obs = self.mp_obs[pid]
+                obs.pop(kid, None)
+                if len(obs) <= 2:
+                    self.erase_point(pid)
+                else:
+                    self.update_normal_and_depth(pid)
+                    self.update_point_descriptor(pid)
+        # reparent children: candidates start with the parent, each child
+        # connects to the candidate with max covisibility (src/KeyFrame.cc:640-690)
+        candidates = {kf.parent} if kf.parent >= 0 else set()
+        children = set(kf.children)
+        while children:
+            best = None
+            for child in children:
+                for cand in candidates:
+                    w = self.covis[child].get(cand, 0)
+                    if best is None or w > best[2]:
+                        best = (child, cand, w)
+            if best is None or best[2] <= 0:
+                break
+            child, cand, _ = best
+            self.kfs[child].parent = cand
+            self.kfs[cand].children.add(child)
+            candidates.add(child)
+            children.remove(child)
+        # orphans go to the grandparent
+        for child in children:
+            self.kfs[child].parent = kf.parent
+            if kf.parent >= 0:
+                self.kfs[kf.parent].children.add(child)
+        if kf.parent >= 0:
+            self.kfs[kf.parent].children.discard(kid)
+            kf.Tcp = kf.Tcw @ np.linalg.inv(self.kfs[kf.parent].Tcw)
+        kf.valid = False
+
+    # ------------------------------------------------------------------
+    # bulk views for device stages
+    # ------------------------------------------------------------------
+    def points_soa(self, pids: List[int]):
+        """Compact SoA arrays for a set of point ids."""
+        pids = np.asarray(pids, np.int32)
+        return dict(
+            pids=pids,
+            pos=np.stack([self.mp_pos[p] for p in pids]) if len(pids) else np.zeros((0, 3), np.float32),
+            desc=np.stack([self.mp_desc[p] for p in pids]) if len(pids) else np.zeros((0, 8), np.uint32),
+            normal=np.stack([self.mp_normal[p] for p in pids]) if len(pids) else np.zeros((0, 3), np.float32),
+            min_dist=np.asarray([self.mp_min_dist[p] for p in pids], np.float32),
+            max_dist=np.asarray([self.mp_max_dist[p] for p in pids], np.float32),
+            valid=np.asarray([self.mp_valid[p] for p in pids], bool),
+        )
+
+    def scene_median_depth(self, kid: int) -> float:
+        """KeyFrame::ComputeSceneMedianDepth (src/KeyFrame.cc:787-820)."""
+        kf = self.kfs[kid]
+        pids = [p for p in kf.frame.mp_ids if p >= 0 and self.mp_valid[p]]
+        if not pids:
+            return -1.0
+        pos = np.stack([self.mp_pos[p] for p in pids])
+        R2, t2 = kf.Tcw[2, :3], kf.Tcw[2, 3]
+        depths = pos @ R2 + t2
+        return float(np.median(depths))

@@ -1,0 +1,454 @@
+"""Local mapping: map-point culling, triangulation of new points,
+fusion, local BA, keyframe culling.
+
+Replaces src/LocalMapping.cc.  Runs synchronously per new keyframe (the
+reference's mapping thread made the pipeline nondeterministic; here the
+stage order is Process -> MapPointCulling -> CreateNewMapPoints ->
+FusePointsInNeighbors -> LocalBA -> KeyFrameCulling, identical to
+LocalMapping::Run's sequence, src/LocalMapping.cc:78-158).
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geom import triangulate, se3
+from ..matching import search, frustum
+from ..models.mapstore import MapStore
+from ..optim import points_opt, ba
+from .config import SlamConfig
+from .tracking import pad_bucket, _project_points
+
+
+def compute_F12(T1: np.ndarray, T2: np.ndarray, K: np.ndarray) -> np.ndarray:
+    """Fundamental matrix of (KF1 -> KF2) from their poses
+    (LocalMapping::ComputeF12, src/LocalMapping.cc:609-630):
+    F12 = K^-T [t12]x R12 K^-1 with T12 = T1 @ T2^-1."""
+    T12 = T1 @ np.linalg.inv(T2)
+    R12, t12 = T12[:3, :3], T12[:3, 3]
+    tx = np.array([
+        [0, -t12[2], t12[1]],
+        [t12[2], 0, -t12[0]],
+        [-t12[1], t12[0], 0],
+    ])
+    Kinv = np.linalg.inv(K)
+    return (Kinv.T @ tx @ R12 @ Kinv).astype(np.float32)
+
+
+def gather_ba_problem(store: MapStore, kf_ids: List[int], inv_sigma2):
+    """Build flat observation arrays for the given keyframes.
+
+    Returns (pids, obs_kf_local, obs_pt_local, obs_feat, obs_uv,
+    obs_isig2) — the padded-array BA input."""
+    pid_set = {}
+    obs = []
+    for li, kid in enumerate(kf_ids):
+        fr = store.kfs[kid].frame
+        for fi, pid in enumerate(fr.mp_ids):
+            if pid >= 0 and store.mp_valid[pid]:
+                if pid not in pid_set:
+                    pid_set[pid] = len(pid_set)
+                obs.append((li, pid_set[pid], kid, fi))
+    pids = list(pid_set.keys())
+    if not obs:
+        return pids, None
+    obs_kf = np.array([o[0] for o in obs], np.int32)
+    obs_pt = np.array([o[1] for o in obs], np.int32)
+    obs_uv = np.stack([store.kfs[o[2]].frame.xy[o[3]] for o in obs])
+    obs_sig = np.array(
+        [inv_sigma2[store.kfs[o[2]].frame.octave[o[3]]] for o in obs],
+        np.float32)
+    meta = [(o[2], o[3]) for o in obs]  # (kid, feat) per obs for writeback
+    return pids, (obs_kf, obs_pt, obs_uv, obs_sig, meta)
+
+
+def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
+                     iters: int = 10):
+    """Fixed-pose local BA == independent point refinement
+    (src/Optimizer.cc:328-637 with fixedPose=true)."""
+    from ..models.frame import FrameFactory
+    from ..ops.extractor import level_sigma2
+    inv_sigma2 = (1.0 / level_sigma2(cfg.orb)).astype(np.float32)
+    pids, packed = gather_ba_problem(store, kf_ids, inv_sigma2)
+    if packed is None or len(pids) == 0:
+        return
+    obs_kf, obs_pt, obs_uv, obs_sig, meta = packed
+    points0 = np.stack([store.mp_pos[p] for p in pids])
+    poses = np.stack([store.kfs[k].Tcw for k in kf_ids])
+
+    O = pad_bucket(len(obs_kf))
+    P = pad_bucket(len(pids))
+    padO = O - len(obs_kf)
+    obs_Tcw = poses[obs_kf]
+    fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
+                      float(cfg.cam.cx), float(cfg.cam.cy))
+    res = points_opt.optimize_points(
+        jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
+        jnp.asarray(np.pad(obs_pt, (0, padO))),
+        jnp.asarray(np.pad(obs_Tcw, ((0, padO), (0, 0), (0, 0)))),
+        jnp.asarray(np.pad(obs_uv, ((0, padO), (0, 0)))),
+        jnp.asarray(np.pad(obs_sig, (0, padO))),
+        jnp.asarray(np.pad(np.ones(len(obs_kf), bool), (0, padO))),
+        fx, fy, cx, cy, iters=iters)
+    new_pts = np.asarray(res.points)[:len(pids)]
+    inl = np.asarray(res.obs_inlier)[:len(obs_kf)]
+    for j, p in enumerate(pids):
+        store.mp_pos[p] = new_pts[j]
+    # erase outlier observations (the reference's post-BA edge removal,
+    # src/Optimizer.cc:560-600)
+    for o in np.where(~inl)[0]:
+        kid, fi = meta[o]
+        pid = pids[obs_pt[o]]
+        if store.mp_valid[pid]:
+            store.erase_observation(pid, kid)
+    for p in pids:
+        if store.mp_valid[p]:
+            store.update_normal_and_depth(p)
+
+
+def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
+                 fixed_pose: bool = False, iters: int = 10):
+    """LocalBundleAdjustment (src/Optimizer.cc:328-637): local KFs =
+    center + its covisibles; fixed KFs = all other observers of the
+    local points (plus KF 0)."""
+    local = [center_kf] + [k for k in store.covis[center_kf]
+                           if store.kfs[k].valid]
+    if fixed_pose:
+        run_structure_ba(store, local, cfg, iters=iters)
+        return
+    local_set = set(local)
+    # points seen by local KFs
+    pid_set = {}
+    for kid in local:
+        for pid in store.kfs[kid].frame.mp_ids:
+            if pid >= 0 and store.mp_valid[pid] and pid not in pid_set:
+                pid_set[pid] = len(pid_set)
+    # fixed observers
+    fixed = []
+    for pid in pid_set:
+        for kid in store.mp_obs[pid]:
+            if kid not in local_set and store.kfs[kid].valid:
+                if kid not in fixed:
+                    fixed.append(kid)
+    all_kfs = local + fixed
+    kf_index = {k: i for i, k in enumerate(all_kfs)}
+    fixed_mask = np.zeros(len(all_kfs), bool)
+    for k in fixed:
+        fixed_mask[kf_index[k]] = True
+    if 0 in kf_index:
+        fixed_mask[kf_index[0]] = True  # gauge
+    if 1 in kf_index:
+        fixed_mask[kf_index[1]] = True  # init pair holds the scale gauge
+    if not fixed_mask.any():
+        fixed_mask[0] = True
+
+    from ..ops.extractor import level_sigma2
+    inv_sigma2 = (1.0 / level_sigma2(cfg.orb)).astype(np.float32)
+
+    obs = []
+    for pid, pl in pid_set.items():
+        for kid, fi in store.mp_obs[pid].items():
+            if kid in kf_index:
+                obs.append((kf_index[kid], pl, kid, fi))
+    if len(obs) < 10:
+        return
+    obs_kf = np.array([o[0] for o in obs], np.int32)
+    obs_pt = np.array([o[1] for o in obs], np.int32)
+    obs_uv = np.stack([store.kfs[o[2]].frame.xy[o[3]] for o in obs])
+    obs_sig = np.array(
+        [inv_sigma2[store.kfs[o[2]].frame.octave[o[3]]] for o in obs], np.float32)
+
+    pids = list(pid_set.keys())
+    poses = np.stack([store.kfs[k].Tcw for k in all_kfs])
+    points0 = np.stack([store.mp_pos[p] for p in pids])
+
+    K = pad_bucket(len(all_kfs), 8)
+    P = pad_bucket(len(pids))
+    O = pad_bucket(len(obs))
+    fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
+                      float(cfg.cam.cx), float(cfg.cam.cy))
+    eye = np.broadcast_to(np.eye(4, dtype=np.float32), (K - len(all_kfs), 4, 4))
+    res = ba.bundle_adjust(
+        jnp.asarray(np.concatenate([poses, eye])),
+        jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
+        jnp.asarray(np.pad(obs_kf, (0, O - len(obs)))),
+        jnp.asarray(np.pad(obs_pt, (0, O - len(obs)))),
+        jnp.asarray(np.pad(obs_uv, ((0, O - len(obs)), (0, 0)))),
+        jnp.asarray(np.pad(obs_sig, (0, O - len(obs)))),
+        jnp.asarray(np.pad(np.ones(len(obs), bool), (0, O - len(obs)))),
+        jnp.asarray(np.pad(fixed_mask, (0, K - len(all_kfs)),
+                           constant_values=True)),
+        fx, fy, cx, cy, iters=iters, cg_iters=20)
+    new_poses = np.asarray(res.cam_Tcw)
+    new_pts = np.asarray(res.points)
+    inl = np.asarray(res.obs_inlier)
+    for i, kid in enumerate(all_kfs):
+        if not fixed_mask[i]:
+            store.set_kf_pose(kid, new_poses[i])
+    for j, p in enumerate(pids):
+        store.mp_pos[p] = new_pts[j]
+    for o in np.where(~inl[:len(obs)])[0]:
+        kid, fi = obs[o][2], obs[o][3]
+        pid = pids[obs_pt[o]]
+        if store.mp_valid[pid]:
+            store.erase_observation(pid, kid)
+    for p in pids:
+        if store.mp_valid[p]:
+            store.update_normal_and_depth(p)
+
+
+class LocalMapper:
+    def __init__(self, cfg: SlamConfig, store: MapStore):
+        self.cfg = cfg
+        self.store = store
+        self.recent_points: List[int] = []
+        self.on_keyframe_processed = None  # wired to loop closing
+        scale, _, sigma2, _ = __import__(
+            "orb_slam2_tpu.ops.pyramid", fromlist=["scale_factors"]
+        ).scale_factors(cfg.orb.n_levels, cfg.orb.scale_factor)
+        self.scale_factors = scale
+        self.sigma2 = sigma2
+        self.inv_sigma2 = (1.0 / sigma2).astype(np.float32)
+        self.log_scale = float(np.log(cfg.orb.scale_factor))
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kid: int):
+        """One LocalMapping::Run iteration (src/LocalMapping.cc:78-158)."""
+        store = self.store
+        self._cull_map_points(kid)
+        self._create_new_map_points(kid)
+        self._fuse_neighbors(kid)
+        if store.n_valid_keyframes() > 2:
+            run_local_ba(store, kid, self.cfg,
+                         fixed_pose=self.cfg.pose_prior,
+                         iters=self.cfg.local_ba_iters)
+        self._cull_keyframes(kid)
+        if self.on_keyframe_processed:
+            self.on_keyframe_processed(kid)
+
+    # ------------------------------------------------------------------
+    def _cull_map_points(self, kid: int):
+        """MapPointCulling (src/LocalMapping.cc:206-248)."""
+        store = self.store
+        keep = []
+        for pid in self.recent_points:
+            if not store.mp_valid[pid]:
+                continue
+            age = kid - store.mp_first_kf[pid]
+            if store.matched_ratio(pid) < self.cfg.mp_cull_min_ratio:
+                store.erase_point(pid)
+            elif age >= 2 and len(store.mp_obs[pid]) <= 2:
+                store.erase_point(pid)
+            elif age >= 3:
+                pass  # graduated
+            else:
+                keep.append(pid)
+        self.recent_points = keep
+
+    # ------------------------------------------------------------------
+    def _create_new_map_points(self, kid: int):
+        """CreateNewMapPoints (src/LocalMapping.cc:255-495)."""
+        store = self.store
+        cfg = self.cfg
+        kf1 = store.kfs[kid]
+        K = np.asarray(cfg.cam.K)
+        o1 = store.kf_center(kid)
+        neighbors = store.get_best_covisibles(kid, cfg.triangulation_neighbors)
+
+        f1 = kf1.frame
+        unbound1 = (f1.mp_ids < 0) & f1.valid
+        fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
+                          float(cfg.cam.cx), float(cfg.cam.cy))
+
+        for kid2 in neighbors:
+            kf2 = store.kfs[kid2]
+            o2 = store.kf_center(kid2)
+            baseline = float(np.linalg.norm(o1 - o2))
+            med_depth = store.scene_median_depth(kid2)
+            if med_depth <= 0 or baseline / med_depth < cfg.min_baseline_depth_ratio:
+                continue
+            f2 = kf2.frame
+            unbound2 = (f2.mp_ids < 0) & f2.valid
+            F12 = compute_F12(kf1.Tcw, kf2.Tcw, K)
+            # epipole of camera 1 in image 2
+            uv_e, z_e = _project_points(
+                jnp.asarray(kf2.Tcw), jnp.asarray(o1[None].astype(np.float32)),
+                fx, fy, cx, cy)
+            res = search.search_for_triangulation(
+                jnp.asarray(f1.xy), jnp.asarray(f1.desc), jnp.asarray(unbound1),
+                jnp.asarray(f1.octave), jnp.asarray(f1.angle), None,
+                jnp.asarray(f2.xy), jnp.asarray(f2.desc), jnp.asarray(unbound2),
+                jnp.asarray(f2.octave), jnp.asarray(f2.angle), None,
+                jnp.asarray(F12), jnp.asarray(np.asarray(uv_e)[0]),
+                jnp.asarray(self.sigma2), jnp.asarray(self.scale_factors))
+            rvalid = np.asarray(res.valid)
+            ridx = np.asarray(res.idx)
+            rows = np.where(rvalid)[0]
+            if len(rows) == 0:
+                continue
+            cols = ridx[rows]
+            nb = pad_bucket(len(rows))
+            padn = nb - len(rows)
+            uv1 = np.pad(f1.xy[rows], ((0, padn), (0, 0)))
+            uv2 = np.pad(f2.xy[cols], ((0, padn), (0, 0)))
+            sig1 = np.pad(self.sigma2[f1.octave[rows]], (0, padn),
+                          constant_values=1.0)
+            sig2 = np.pad(self.sigma2[f2.octave[cols]], (0, padn),
+                          constant_values=1.0)
+            P1 = triangulate.projection_matrix(jnp.asarray(K), jnp.asarray(kf1.Tcw))
+            P2 = triangulate.projection_matrix(jnp.asarray(K), jnp.asarray(kf2.Tcw))
+            X = triangulate.triangulate_dlt(
+                P1, P2, jnp.asarray(uv1), jnp.asarray(uv2))
+            chk = triangulate.check_triangulation(
+                X, jnp.asarray(kf1.Tcw), jnp.asarray(kf2.Tcw),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                fx, fy, cx, cy, jnp.asarray(sig1), jnp.asarray(sig2))
+            good = np.array(chk.good)[:len(rows)]
+            Xn = np.asarray(X)[:len(rows)]
+            # scale-consistency gate (src/LocalMapping.cc:455-470)
+            d1 = np.linalg.norm(Xn - o1, axis=-1)
+            d2 = np.linalg.norm(Xn - o2, axis=-1)
+            ratio_dist = d2 / np.maximum(d1, 1e-9)
+            ratio_oct = (self.scale_factors[f1.octave[rows]]
+                         / self.scale_factors[f2.octave[cols]])
+            rf = 1.5 * cfg.orb.scale_factor
+            good &= (ratio_dist < ratio_oct * rf) & (ratio_dist > ratio_oct / rf)
+
+            for j in np.where(good)[0]:
+                r, c = int(rows[j]), int(cols[j])
+                if f1.mp_ids[r] >= 0 or f2.mp_ids[c] >= 0:
+                    continue  # got bound earlier in this loop
+                pid = store.add_point(
+                    pos=Xn[j], desc=f1.desc[r],
+                    normal=np.array([0, 0, 1.0], np.float32),
+                    min_dist=0.1, max_dist=100.0, first_kf=kid,
+                    first_frame=f1.frame_id)
+                store.add_observation(pid, kid, r)
+                store.add_observation(pid, kid2, c)
+                store.update_point_descriptor(pid)
+                store.update_normal_and_depth(pid)
+                self.recent_points.append(pid)
+                unbound1[r] = False
+        store.update_connections(kid)
+
+    # ------------------------------------------------------------------
+    def _fuse_neighbors(self, kid: int):
+        """FusePointsInNeighbors (src/LocalMapping.cc:501-606): project
+        neighbors' map points into this KF and vice versa, merging
+        duplicates."""
+        store = self.store
+        targets = store.get_best_covisibles(kid, 20)
+        second = []
+        for t in targets:
+            for t2 in store.get_best_covisibles(t, 5):
+                if t2 != kid and t2 not in targets and t2 not in second:
+                    second.append(t2)
+        all_targets = targets + second
+
+        # forward: this KF's points into each neighbor
+        own = [p for p in store.kfs[kid].frame.mp_ids
+               if p >= 0 and store.mp_valid[p]]
+        for t in all_targets:
+            self._fuse_into_kf(t, own)
+        # reverse: neighbors' points into this KF
+        cand = []
+        seen = set(own)
+        for t in all_targets:
+            for p in store.kfs[t].frame.mp_ids:
+                if p >= 0 and p not in seen and store.mp_valid[p]:
+                    seen.add(p)
+                    cand.append(p)
+        self._fuse_into_kf(kid, cand)
+        # refresh
+        for p in store.kfs[kid].frame.mp_ids:
+            if p >= 0 and store.mp_valid[p]:
+                store.update_point_descriptor(p)
+                store.update_normal_and_depth(p)
+        store.update_connections(kid)
+
+    def _fuse_into_kf(self, kid: int, pids: List[int]):
+        """ORBmatcher::Fuse (src/ORBmatcher.cc:1060-1216)."""
+        store = self.store
+        cfg = self.cfg
+        pids = [p for p in pids if store.mp_valid[p]
+                and kid not in store.mp_obs[p]]
+        if not pids:
+            return
+        kf = store.kfs[kid]
+        f = kf.frame
+        n = pad_bucket(len(pids))
+        soa = store.points_soa(pids)
+        pad = n - len(pids)
+        fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
+                          float(cfg.cam.cx), float(cfg.cam.cy))
+        from ..geom.camera import undistorted_bounds
+        bounds = undistorted_bounds(cfg.cam)
+        fr = frustum.is_in_frustum(
+            jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
+            jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
+            jnp.asarray(np.pad(soa["valid"], (0, pad))),
+            jnp.asarray(kf.Tcw), fx, fy, cx, cy, bounds,
+            cfg.orb.n_levels, self.log_scale)
+        res = search.search_by_projection_local_map(
+            fr.uv, fr.pred_level, fr.view_cos,
+            jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
+            fr.visible,
+            jnp.asarray(f.xy), jnp.asarray(f.octave),
+            jnp.asarray(f.desc), jnp.asarray(f.valid),
+            jnp.asarray(np.zeros(f.n, bool)),  # allow bound features
+            jnp.asarray(self.scale_factors.astype(np.float32)), th=3.0,
+            ratio=1.0)
+        rvalid = np.asarray(res.valid)
+        ridx = np.asarray(res.idx)
+        rdist = np.asarray(res.dist)
+        for j in np.where(rvalid[:len(pids)])[0]:
+            if rdist[j] > 50:
+                continue
+            pid = pids[j]
+            feat = int(ridx[j])
+            existing = f.mp_ids[feat]
+            if existing >= 0 and store.mp_valid[existing]:
+                if existing == pid:
+                    continue
+                # keep the point with more observations
+                if len(store.mp_obs[existing]) > len(store.mp_obs[pid]):
+                    store.replace_point(pid, existing)
+                else:
+                    store.replace_point(existing, pid)
+            else:
+                if store.mp_valid[pid] and kid not in store.mp_obs[pid]:
+                    store.add_observation(pid, kid, feat)
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, kid: int):
+        """KeyFrameCulling (src/LocalMapping.cc:688-772): erase local
+        covisible KFs where >= 90% of points are seen >= 3 times at the
+        same or finer scale elsewhere."""
+        store = self.store
+        for cand in store.get_best_covisibles(kid, 10 ** 9):
+            if cand == 0 or not store.kfs[cand].valid:
+                continue
+            f = store.kfs[cand].frame
+            n_pts = 0
+            n_redundant = 0
+            for fi, pid in enumerate(f.mp_ids):
+                if pid < 0 or not store.mp_valid[pid]:
+                    continue
+                n_pts += 1
+                level = int(f.octave[fi])
+                n_obs_fine = 0
+                for okid, ofi in store.mp_obs[pid].items():
+                    if okid == cand:
+                        continue
+                    if int(store.kfs[okid].frame.octave[ofi]) <= level + 1:
+                        n_obs_fine += 1
+                        if n_obs_fine >= 3:
+                            break
+                if n_obs_fine >= 3:
+                    n_redundant += 1
+            if n_pts > 0 and n_redundant > self.cfg.kf_cull_redundancy * n_pts:
+                store.erase_keyframe(cand)

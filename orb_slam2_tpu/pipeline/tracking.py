@@ -1,0 +1,566 @@
+"""The tracking front end.
+
+Replaces src/Tracking.cc (1.3k LoC).  Both tracking modes ship:
+
+- ``pose_prior=True``  — the reference fork's TrackMonocularWithPose
+  path: every frame carries a trusted pose, matches are gated by
+  reprojection chi2 against that pose (CheckMatchesByProjection,
+  src/Tracking.cc:1108-1142), and no pose is ever optimized per-frame.
+- ``pose_prior=False`` — upstream ORB-SLAM2 semantics: constant-
+  velocity motion model + motion-only LM pose optimization
+  (the capability the fork deleted; restored per BASELINE.json).
+
+Heavy per-frame compute (projection searches, pose LM) is jitted with
+padded shapes; map bookkeeping is host-side via MapStore.
+"""
+from __future__ import annotations
+
+import enum
+import functools
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom import se3
+from ..matching import search, frustum, core as mcore
+from ..models.frame import Frame, FrameFactory
+from ..models.mapstore import MapStore
+from ..optim import pose_opt
+from ..geom import triangulate
+from .config import SlamConfig
+
+
+class TrackState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+def pad_bucket(n: int, minimum: int = 256) -> int:
+    """Round up to a power-of-two bucket to bound jit recompiles."""
+    m = minimum
+    while m < n:
+        m *= 2
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
+def _project_points(Tcw, pos, fx, fy, cx, cy):
+    R, t = Tcw[:3, :3], Tcw[:3, 3]
+    pc = pos @ R.T + t
+    z = pc[:, 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    uv = jnp.stack([fx * pc[:, 0] * inv_z + cx, fy * pc[:, 1] * inv_z + cy], -1)
+    return uv, z
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "chi2"))
+def _reproj_chi2_gate(Tcw, pos, uv_obs, inv_sigma2, valid, fx, fy, cx, cy, chi2):
+    """CheckMatchesByProjection (src/Tracking.cc:1108-1142): keep
+    bindings whose reprojection error under the (trusted) pose passes
+    the chi-squared gate."""
+    uv, z = _project_points(Tcw, pos, fx, fy, cx, cy)
+    r = uv - uv_obs
+    c2 = jnp.sum(r * r, -1) * inv_sigma2
+    return valid & (z > 0) & (c2 <= chi2)
+
+
+class Tracker:
+    def __init__(self, config: SlamConfig, store: MapStore,
+                 factory: FrameFactory):
+        self.cfg = config
+        self.store = store
+        self.factory = factory
+        self.state = TrackState.NO_IMAGES_YET
+
+        self.init_frame: Optional[Frame] = None
+        self.last_frame: Optional[Frame] = None
+        self.ref_kf: int = -1
+        self.velocity: Optional[np.ndarray] = None  # Tcw_cur @ inv(Tcw_last)
+        self.last_kf_frame_id: int = 0
+        self.last_reloc_frame_id: int = -(10 ** 9)
+        self.matches_inliers: int = 0
+
+        # wired by System
+        self.on_new_keyframe: Optional[Callable[[int], None]] = None
+        self.on_reset: Optional[Callable[[], None]] = None
+        self.relocalize: Optional[Callable[[Frame], bool]] = None
+
+        cam = config.cam
+        self._cam_tuple = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
+        from ..geom.camera import undistorted_bounds
+        self.bounds = undistorted_bounds(cam)
+        self.scale_factors = np.asarray(factory.scale_factors, np.float32)
+        self.inv_sigma2 = np.asarray(factory.inv_sigma2, np.float32)
+        self.log_scale = float(np.log(config.orb.scale_factor))
+
+    # ------------------------------------------------------------------
+    def track(self, image: np.ndarray, timestamp: float = 0.0,
+              pose_prior: Optional[np.ndarray] = None) -> Frame:
+        """Process one frame — Tracking::trackImageWithPose
+        (src/Tracking.cc:194-356) merged with upstream GrabImageMonocular."""
+        init_mode = self.state in (TrackState.NO_IMAGES_YET,
+                                   TrackState.NOT_INITIALIZED)
+        frame = self.factory.make(image, timestamp,
+                                  Tcw=pose_prior, init_mode=init_mode)
+
+        if init_mode:
+            self._initialize(frame, pose_prior)
+            self.last_frame = frame
+            return frame
+
+        ok = False
+        if self.state == TrackState.OK:
+            self._refresh_replaced_bindings(self.last_frame)
+            if self.cfg.pose_prior:
+                ok = self._track_with_prior(frame)
+                if not ok:
+                    ok = self._track_reference_kf(frame)
+            else:
+                if self.velocity is not None:
+                    ok = self._track_motion_model(frame)
+                if not ok:
+                    ok = self._track_reference_kf(frame)
+        else:  # LOST
+            ok = self._do_relocalize(frame)
+
+        if ok:
+            ok = self._track_local_map(frame)
+
+        if ok:
+            self.state = TrackState.OK
+            if not self.cfg.pose_prior and self.last_frame is not None:
+                self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
+            if self._need_new_keyframe(frame):
+                self._create_new_keyframe(frame)
+        else:
+            self.state = TrackState.LOST
+            self.velocity = None
+            if self.store.n_valid_keyframes() <= 5 and self.on_reset:
+                self.on_reset()
+
+        self.last_frame = frame
+        return frame
+
+    # ------------------------------------------------------------------
+    # initialization (src/Tracking.cc:392-573)
+    # ------------------------------------------------------------------
+    def _initialize(self, frame: Frame, pose_prior: Optional[np.ndarray]):
+        n_kp = int(frame.valid.sum())
+        if self.init_frame is None or self.state == TrackState.NO_IMAGES_YET:
+            if n_kp > self.cfg.init_min_keypoints:
+                self.init_frame = frame
+                self.state = TrackState.NOT_INITIALIZED
+            return
+        if n_kp <= self.cfg.init_min_keypoints:
+            self.init_frame = None
+            self.state = TrackState.NO_IMAGES_YET
+            return
+
+        f1, f2 = self.init_frame, frame
+        res = search.search_for_initialization(
+            jnp.asarray(f1.xy), jnp.asarray(f1.desc), jnp.asarray(f1.valid),
+            jnp.asarray(f1.octave), jnp.asarray(f1.angle),
+            jnp.asarray(f2.xy), jnp.asarray(f2.desc), jnp.asarray(f2.valid),
+            jnp.asarray(f2.octave), jnp.asarray(f2.angle),
+            window=self.cfg.init_match_window)
+        valid = np.asarray(res.valid)
+        idx = np.asarray(res.idx)
+        n_matches = int(valid.sum())
+        if n_matches < self.cfg.init_min_matches:
+            # keep f2 as the new initial frame (reference restarts with
+            # the current frame when matching fails, src/Tracking.cc:436-445)
+            self.init_frame = frame
+            return
+
+        # both poses must be known: the prior mode supplies them per
+        # frame; the estimated mode requires priors for the first two
+        # keyframes only (bootstrap; H/F-model RANSAC init lands with
+        # the no-prior initializer).
+        T1, T2 = f1.Tcw, f2.Tcw
+        if pose_prior is None and np.allclose(T1, T2):
+            return  # degenerate / no usable geometry yet
+
+        K = np.asarray(self.cfg.cam.K)
+        rows = np.where(valid)[0]
+        cols = idx[rows]
+        nb = pad_bucket(len(rows))
+        padn = nb - len(rows)
+        uv1 = jnp.asarray(np.pad(f1.xy[rows], ((0, padn), (0, 0))))
+        uv2 = jnp.asarray(np.pad(f2.xy[cols], ((0, padn), (0, 0))))
+        P1 = triangulate.projection_matrix(jnp.asarray(K), jnp.asarray(T1))
+        P2 = triangulate.projection_matrix(jnp.asarray(K), jnp.asarray(T2))
+        X = triangulate.triangulate_dlt(P1, P2, uv1, uv2)
+        sig1 = jnp.asarray(np.pad(self.factory.sigma2[f1.octave[rows]],
+                                  (0, padn), constant_values=1.0))
+        sig2 = jnp.asarray(np.pad(self.factory.sigma2[f2.octave[cols]],
+                                  (0, padn), constant_values=1.0))
+        fx, fy, cx, cy = self._cam_tuple
+        chk = triangulate.check_triangulation(
+            X, jnp.asarray(T1), jnp.asarray(T2), uv1, uv2,
+            fx, fy, cx, cy, sig1, sig2)
+        good = np.asarray(chk.good)[:len(rows)]
+        X = X[:len(rows)]
+        if good.sum() < self.cfg.init_min_triangulated:
+            self.init_frame = frame
+            return
+        self._create_initial_map(f1, f2, rows[good], cols[good],
+                                 np.asarray(X)[good])
+
+    def _create_initial_map(self, f1: Frame, f2: Frame, rows, cols, X):
+        """CreateInitialMap (src/Tracking.cc:467-573)."""
+        store = self.store
+        k1 = store.add_keyframe(f1)
+        k2 = store.add_keyframe(f2)
+        for r, c, x in zip(rows, cols, X):
+            pid = store.add_point(
+                pos=x, desc=f2.desc[c], normal=np.array([0, 0, 1.0], np.float32),
+                min_dist=0.1, max_dist=100.0, first_kf=k2, first_frame=f2.frame_id)
+            store.add_observation(pid, k1, int(r))
+            store.add_observation(pid, k2, int(c))
+            store.update_point_descriptor(pid)
+            store.update_normal_and_depth(pid)
+        store.update_connections(k1)
+        store.update_connections(k2)
+
+        # structure-only BA with both poses fixed == the reference's
+        # GlobalBundleAdjustemnt(20 it, fix both init KFs)
+        # (src/Tracking.cc:536, include/Optimizer.h:80-82)
+        from .local_mapping import run_structure_ba
+        run_structure_ba(store, [k1, k2], self.cfg, iters=20)
+
+        tracked = sum(1 for p in f2.mp_ids if p >= 0)
+        if tracked < self.cfg.init_min_tracked_after_ba:
+            if self.on_reset:
+                self.on_reset()
+            return
+        self.ref_kf = k2
+        self.last_kf_frame_id = f2.frame_id
+        self.state = TrackState.OK
+        if self.on_new_keyframe:
+            self.on_new_keyframe(k1)
+            self.on_new_keyframe(k2)
+
+    # ------------------------------------------------------------------
+    # frame-to-frame tracking
+    # ------------------------------------------------------------------
+    def _refresh_replaced_bindings(self, frame: Optional[Frame]):
+        """CheckReplacedMapPointsInLastFrame (src/Tracking.cc:581-597)."""
+        if frame is None:
+            return
+        for i, pid in enumerate(frame.mp_ids):
+            if pid >= 0:
+                r = self.store.resolve_replaced(pid)
+                if r != pid:
+                    frame.mp_ids[i] = r
+                if r < 0 or not self.store.mp_valid[r]:
+                    frame.mp_ids[i] = -1
+
+    def _gather_last_frame_mps(self, last: Frame):
+        has = (last.mp_ids >= 0) & ~last.mp_outlier
+        ids = np.where(has)[0]
+        ids = np.array([i for i in ids
+                        if self.store.mp_valid[last.mp_ids[i]]], np.int32)
+        return ids
+
+    def _match_against_last(self, frame: Frame, Tcw_pred: np.ndarray,
+                            th: float) -> int:
+        """SearchByProjection(cur, last, th) — bind map points of the
+        last frame to current features (src/ORBmatcher.cc:1633-1797)."""
+        last = self.last_frame
+        ids = self._gather_last_frame_mps(last)
+        if len(ids) == 0:
+            return 0
+        pos = np.stack([self.store.mp_pos[last.mp_ids[i]] for i in ids])
+        desc = last.desc[ids]
+        oct_ = last.octave[ids]
+        ang = last.angle[ids]
+
+        n = pad_bucket(len(ids))
+        pad = n - len(ids)
+        pos = np.pad(pos, ((0, pad), (0, 0)))
+        desc = np.pad(desc, ((0, pad), (0, 0)))
+        oct_ = np.pad(oct_, (0, pad))
+        ang = np.pad(ang, (0, pad))
+        mp_valid = np.zeros(n, bool)
+        mp_valid[:len(ids)] = True
+
+        fx, fy, cx, cy = self._cam_tuple
+        uv, z = _project_points(jnp.asarray(Tcw_pred), jnp.asarray(pos),
+                                fx, fy, cx, cy)
+        uv_np = np.asarray(uv)
+        in_img = ((np.asarray(z) > 0)
+                  & (uv_np[:, 0] >= self.bounds[0]) & (uv_np[:, 0] < self.bounds[1])
+                  & (uv_np[:, 1] >= self.bounds[2]) & (uv_np[:, 1] < self.bounds[3]))
+        mp_valid &= in_img
+
+        res = search.search_by_projection_last_frame(
+            uv, jnp.asarray(oct_), jnp.asarray(desc), jnp.asarray(mp_valid),
+            jnp.asarray(ang),
+            jnp.asarray(frame.xy), jnp.asarray(frame.octave),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            jnp.asarray(frame.angle),
+            jnp.asarray(self.scale_factors), th=th)
+        rvalid = np.asarray(res.valid)
+        ridx = np.asarray(res.idx)
+        count = 0
+        for i in np.where(rvalid[:len(ids)])[0]:
+            frame.mp_ids[ridx[i]] = last.mp_ids[ids[i]]
+            count += 1
+        return count
+
+    def _pose_chi2_filter(self, frame: Frame) -> int:
+        """Prior mode: gate current bindings by reprojection chi2 under
+        the trusted pose; returns surviving count."""
+        bound = np.where(frame.mp_ids >= 0)[0]
+        if len(bound) == 0:
+            return 0
+        pos = np.stack([self.store.mp_pos[frame.mp_ids[i]] for i in bound])
+        fx, fy, cx, cy = self._cam_tuple
+        ok = np.asarray(_reproj_chi2_gate(
+            jnp.asarray(frame.Tcw), jnp.asarray(pos),
+            jnp.asarray(frame.xy[bound]),
+            jnp.asarray(self.inv_sigma2[frame.octave[bound]]),
+            jnp.ones(len(bound), bool), fx, fy, cx, cy, self.cfg.chi2_mono))
+        for j, i in enumerate(bound):
+            if not ok[j]:
+                frame.mp_ids[i] = -1
+        return int(ok.sum())
+
+    def _optimize_frame_pose(self, frame: Frame) -> int:
+        """Motion-only LM over current bindings; flags outliers.
+        Restores upstream PoseOptimization semantics."""
+        bound = np.where(frame.mp_ids >= 0)[0]
+        if len(bound) < 3:
+            return 0
+        pos = np.stack([self.store.mp_pos[frame.mp_ids[i]] for i in bound])
+        n = pad_bucket(len(bound))
+        pad = n - len(bound)
+        fx, fy, cx, cy = self._cam_tuple
+        res = pose_opt.optimize_pose(
+            jnp.asarray(frame.Tcw),
+            jnp.asarray(np.pad(pos, ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(frame.xy[bound], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(self.inv_sigma2[frame.octave[bound]], (0, pad))),
+            jnp.asarray(np.pad(np.ones(len(bound), bool), (0, pad))),
+            fx, fy, cx, cy)
+        frame.Tcw = np.asarray(res.Tcw)
+        inl = np.asarray(res.inliers)[:len(bound)]
+        frame.mp_outlier[:] = False
+        for j, i in enumerate(bound):
+            frame.mp_outlier[i] = not inl[j]
+        return int(inl.sum())
+
+    def _track_with_prior(self, frame: Frame) -> bool:
+        """TrackWithInitialPose (src/Tracking.cc:1060-1072)."""
+        n = self._match_against_last(frame, frame.Tcw, th=7.0)
+        if n < self.cfg.track_prior_min_matches:
+            frame.mp_ids[:] = -1
+            return False
+        good = self._pose_chi2_filter(frame)
+        return good >= self.cfg.track_prior_min_good
+
+    def _track_motion_model(self, frame: Frame) -> bool:
+        """Upstream TrackWithMotionModel."""
+        Tcw_pred = (self.velocity @ self.last_frame.Tcw).astype(np.float32)
+        frame.Tcw = Tcw_pred
+        n = self._match_against_last(frame, Tcw_pred, th=15.0)
+        if n < 20:
+            frame.mp_ids[:] = -1
+            n = self._match_against_last(frame, Tcw_pred, th=30.0)
+        if n < 20:
+            frame.mp_ids[:] = -1
+            return False
+        good = self._optimize_frame_pose(frame)
+        return good >= 10
+
+    def _track_reference_kf(self, frame: Frame) -> bool:
+        """TrackWithReferenceKF (src/Tracking.cc:1080-1096): descriptor
+        match against the reference KF's map points."""
+        if self.ref_kf < 0:
+            return False
+        kf = self.store.kfs[self.ref_kf].frame
+        has = kf.mp_ids >= 0
+        ids = np.array([i for i in np.where(has)[0]
+                        if self.store.mp_valid[kf.mp_ids[i]]], np.int32)
+        if len(ids) < self.cfg.track_refkf_min_matches:
+            return False
+        n_rows = pad_bucket(len(ids))
+        pad = n_rows - len(ids)
+        valid_rows = np.zeros(n_rows, bool)
+        valid_rows[:len(ids)] = True
+        res = search.search_descriptors(
+            jnp.asarray(np.pad(kf.desc[ids], ((0, pad), (0, 0)))),
+            jnp.asarray(valid_rows),
+            jnp.asarray(np.pad(kf.angle[ids], (0, pad))), None,
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            jnp.asarray(frame.angle), None,
+            ratio=0.7)
+        rvalid = np.asarray(res.valid)[:len(ids)]
+        ridx = np.asarray(res.idx)[:len(ids)]
+        n = 0
+        for j in np.where(rvalid)[0]:
+            frame.mp_ids[ridx[j]] = kf.mp_ids[ids[j]]
+            n += 1
+        if n < self.cfg.track_refkf_min_matches:
+            frame.mp_ids[:] = -1
+            return False
+        if self.cfg.pose_prior:
+            good = self._pose_chi2_filter(frame)
+        else:
+            frame.Tcw = self.store.kfs[self.ref_kf].Tcw.copy() \
+                if self.velocity is None else frame.Tcw
+            good = self._optimize_frame_pose(frame)
+        return good >= self.cfg.track_refkf_min_good
+
+    def _do_relocalize(self, frame: Frame) -> bool:
+        if self.relocalize is not None and self.relocalize(frame):
+            self.last_reloc_frame_id = frame.frame_id
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    # local map tracking (src/Tracking.cc:619-667, 789-1005)
+    # ------------------------------------------------------------------
+    def _local_keyframes(self, frame: Frame):
+        """UpdateLocalKeyFrames (src/Tracking.cc:890-1005): vote by
+        shared observations, add covisible neighbors/children/parent,
+        cap at 80."""
+        votes = {}
+        for pid in frame.mp_ids:
+            if pid >= 0 and self.store.mp_valid[pid]:
+                for kid in self.store.mp_obs[pid]:
+                    votes[kid] = votes.get(kid, 0) + 1
+        if not votes:
+            return []
+        local = sorted(votes, key=votes.get, reverse=True)
+        local = [k for k in local if self.store.kfs[k].valid]
+        out = list(local)
+        seen = set(local)
+        for kid in local:
+            if len(out) >= self.cfg.max_local_keyframes:
+                break
+            for nb in self.store.get_best_covisibles(kid, 10):
+                if nb not in seen:
+                    out.append(nb)
+                    seen.add(nb)
+                    break
+            kf = self.store.kfs[kid]
+            for ch in kf.children:
+                if ch not in seen and self.store.kfs[ch].valid:
+                    out.append(ch)
+                    seen.add(ch)
+                    break
+            if kf.parent >= 0 and kf.parent not in seen:
+                out.append(kf.parent)
+                seen.add(kf.parent)
+        self.ref_kf = max(votes, key=votes.get)
+        return out[:self.cfg.max_local_keyframes]
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        local_kfs = self._local_keyframes(frame)
+        if not local_kfs:
+            return False
+        bound = set(int(p) for p in frame.mp_ids if p >= 0)
+        local_mps = []
+        seen = set()
+        for kid in local_kfs:
+            for pid in self.store.kfs[kid].frame.mp_ids:
+                if pid >= 0 and pid not in seen and self.store.mp_valid[pid]:
+                    seen.add(pid)
+                    local_mps.append(pid)
+        if not local_mps:
+            return False
+
+        # frustum + projection search over points not already bound
+        cand = [p for p in local_mps if p not in bound]
+        n_matched_new = 0
+        if cand:
+            n = pad_bucket(len(cand))
+            soa = self.store.points_soa(cand)
+            pad = n - len(cand)
+            fx, fy, cx, cy = self._cam_tuple
+            fr = frustum.is_in_frustum(
+                jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
+                jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
+                jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
+                jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
+                jnp.asarray(np.pad(soa["valid"], (0, pad))),
+                jnp.asarray(frame.Tcw), fx, fy, cx, cy, self.bounds,
+                self.cfg.orb.n_levels, self.log_scale)
+            visible = np.asarray(fr.visible)
+            for j in np.where(visible[:len(cand)])[0]:
+                self.store.mp_n_visible[cand[j]] += 1
+
+            th = 3.0 if (frame.frame_id - self.last_reloc_frame_id
+                         < self.cfg.max_frames_between_kf) else 1.0
+            res = search.search_by_projection_local_map(
+                fr.uv, fr.pred_level, fr.view_cos,
+                jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
+                fr.visible,
+                jnp.asarray(frame.xy), jnp.asarray(frame.octave),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(frame.mp_ids >= 0),
+                jnp.asarray(self.scale_factors), th=th)
+            rvalid = np.asarray(res.valid)
+            ridx = np.asarray(res.idx)
+            for j in np.where(rvalid[:len(cand)])[0]:
+                frame.mp_ids[ridx[j]] = cand[j]
+                n_matched_new += 1
+
+        if self.cfg.pose_prior:
+            good = self._pose_chi2_filter(frame)
+        else:
+            good = self._optimize_frame_pose(frame)
+
+        # found counters for points that survived
+        for i, pid in enumerate(frame.mp_ids):
+            if pid >= 0 and not frame.mp_outlier[i]:
+                self.store.mp_n_found[pid] += 1
+
+        self.matches_inliers = good
+        need = (self.cfg.track_local_min_inliers_reloc
+                if frame.frame_id - self.last_reloc_frame_id
+                < self.cfg.max_frames_between_kf
+                else self.cfg.track_local_min_inliers)
+        return good >= need
+
+    # ------------------------------------------------------------------
+    # keyframe decision (src/Tracking.cc:681-780)
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        if self.ref_kf < 0:
+            return False
+        n_kfs = self.store.n_valid_keyframes()
+        if (frame.frame_id - self.last_reloc_frame_id
+                < self.cfg.max_frames_between_kf and n_kfs > self.cfg.max_frames_between_kf):
+            return False
+        min_obs = 3 if n_kfs > 2 else 2
+        ref = self.store.kfs[self.ref_kf].frame
+        n_ref = sum(1 for p in ref.mp_ids
+                    if p >= 0 and self.store.mp_valid[p]
+                    and len(self.store.mp_obs[p]) >= min_obs)
+        c1a = frame.frame_id >= self.last_kf_frame_id + self.cfg.max_frames_between_kf
+        c1b = frame.frame_id >= self.last_kf_frame_id + self.cfg.min_frames_between_kf
+        c2 = (self.matches_inliers < n_ref * self.cfg.ref_ratio
+              and self.matches_inliers > 15)
+        return (c1a or c1b) and c2
+
+    def _create_new_keyframe(self, frame: Frame):
+        kid = self.store.add_keyframe(frame)
+        # bind observations for the KF's tracked points
+        for i, pid in enumerate(frame.mp_ids):
+            if pid >= 0 and not frame.mp_outlier[i] and self.store.mp_valid[pid]:
+                self.store.add_observation(pid, kid, i)
+                self.store.update_point_descriptor(pid)
+                self.store.update_normal_and_depth(pid)
+            elif pid >= 0:
+                frame.mp_ids[i] = -1
+        self.store.update_connections(kid)
+        self.ref_kf = kid
+        self.last_kf_frame_id = frame.frame_id
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kid)

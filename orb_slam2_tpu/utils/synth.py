@@ -1,0 +1,147 @@
+"""Synthetic planar-world renderer for tests and benchmarks.
+
+The environment has no dataset egress, so end-to-end tracking tests and
+benchmarks run on a rendered world: a large textured ground plane
+(z = 0) observed by a camera trajectory (the aerial/drone geometry of
+the reference's shenzhen workload, Examples/Monocular/mono_shenzhen.cc).
+Views are exact plane-induced homography warps of the texture, so
+ground truth poses and structure are exact.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from ..geom import camera as camera_mod
+
+
+@dataclass
+class PlanarWorld:
+    texture: np.ndarray     # (Ht, Wt) float32 the plane's appearance
+    scale: float            # pixels per world unit on the plane
+    origin: np.ndarray      # (2,) texture pixel of world (0, 0)
+
+    def world_to_tex(self):
+        """3x3 mapping homogeneous (X, Y, 1) plane coords -> texture px."""
+        return np.array([
+            [self.scale, 0, self.origin[0]],
+            [0, self.scale, self.origin[1]],
+            [0, 0, 1.0],
+        ], np.float32)
+
+
+def make_world(seed: int = 0, tex_size: int = 3072, scale: float = 60.0) -> PlanarWorld:
+    """Random smooth texture with structure at several octaves."""
+    import cv2
+    rng = np.random.default_rng(seed)
+    tex = np.zeros((tex_size, tex_size), np.float32)
+    for cells, amp in [(24, 90.0), (96, 60.0), (384, 35.0)]:
+        layer = rng.uniform(0, 1, (cells, cells)).astype(np.float32)
+        layer = cv2.resize(layer, (tex_size, tex_size), interpolation=cv2.INTER_CUBIC)
+        tex += amp * layer
+    tex = 255.0 * (tex - tex.min()) / (tex.max() - tex.min())
+    return PlanarWorld(texture=tex, scale=scale,
+                       origin=np.array([tex_size / 2, tex_size / 2], np.float32))
+
+
+def render(world: PlanarWorld, cam: camera_mod.Intrinsics, Tcw: np.ndarray) -> np.ndarray:
+    """Render the plane from camera pose Tcw (world -> camera)."""
+    import cv2
+    K = np.asarray(cam.K)
+    R, t = Tcw[:3, :3], Tcw[:3, 3]
+    # plane point (X, Y, 0): pixel ~ K [r1 r2 t] (X, Y, 1)
+    H_world_img = K @ np.stack([R[:, 0], R[:, 1], t], axis=1)
+    H_tex_img = H_world_img @ np.linalg.inv(world.world_to_tex())
+    return cv2.warpPerspective(
+        world.texture, H_tex_img.astype(np.float64),
+        (cam.width, cam.height), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_REPLICATE)
+
+
+def aerial_trajectory(
+    n_frames: int,
+    height: float = 10.0,
+    speed: float = 0.35,
+    yaw_rate: float = 0.0,
+    lateral_wobble: float = 0.05,
+    seed: int = 1,
+) -> List[np.ndarray]:
+    """Downward-looking camera sweeping over the plane (shenzhen-style).
+
+    Returns list of Tcw (world -> camera).  Camera axes: z looks down at
+    the plane (world -z direction... we use camera z = down so points at
+    z=0 have positive depth when the camera is at z = -height).  To keep
+    the usual 'scene in front, positive depth' convention the world
+    plane is z=0 and cameras fly at z = -height with R aligning camera
+    z to +z world.
+    """
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_frames):
+        yaw = yaw_rate * i
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        # camera center in world
+        c = np.array([speed * i,
+                      lateral_wobble * np.sin(0.2 * i) + 0.01 * rng.normal(),
+                      -height + 0.02 * rng.normal()])
+        # Rwc: camera x ~ world x rotated by yaw, camera z = +z world (down)
+        Rwc = np.array([
+            [cy, -sy, 0.0],
+            [sy, cy, 0.0],
+            [0.0, 0.0, 1.0],
+        ])
+        Rcw = Rwc.T
+        t = -Rcw @ c
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rcw
+        T[:3, 3] = t
+        poses.append(T)
+    return poses
+
+
+def loop_trajectory(n_frames: int, radius: float = 8.0, height: float = 10.0):
+    """Closed circular sweep for loop-closing tests: the camera returns
+    to its start after n_frames."""
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / n_frames
+        c = np.array([radius * np.cos(th), radius * np.sin(th), -height])
+        yaw = th + np.pi / 2  # tangent heading
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Rwc = np.array([
+            [cy, -sy, 0.0],
+            [sy, cy, 0.0],
+            [0.0, 0.0, 1.0],
+        ])
+        Rcw = Rwc.T
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rcw
+        T[:3, 3] = -Rcw @ c
+        poses.append(T.astype(np.float32))
+    return poses
+
+
+def ate_rmse(est: np.ndarray, gt: np.ndarray, align: str = "sim3") -> float:
+    """Absolute trajectory error after Sim3 (monocular) or SE3 alignment
+    of camera centers — the standard TUM evaluation and the BASELINE
+    metric."""
+    assert est.shape == gt.shape
+    mu_e = est.mean(0)
+    mu_g = gt.mean(0)
+    ec = est - mu_e
+    gc = gt - mu_g
+    W = gc.T @ ec
+    U, D, Vt = np.linalg.svd(W)
+    S = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if align == "sim3":
+        s = np.trace(np.diag(D) @ S) / max((ec ** 2).sum() / len(ec), 1e-12) / len(ec)
+    else:
+        s = 1.0
+    t = mu_g - s * R @ mu_e
+    est_aligned = (s * (R @ est.T)).T + t
+    return float(np.sqrt(((est_aligned - gt) ** 2).sum(-1).mean()))

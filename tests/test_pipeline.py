@@ -1,0 +1,79 @@
+"""End-to-end tracking tests on the synthetic planar world."""
+import numpy as np
+import pytest
+
+from orb_slam2_tpu.geom.camera import Intrinsics
+from orb_slam2_tpu.ops.extractor import OrbParams
+from orb_slam2_tpu.pipeline import SlamConfig, System, TrackState
+from orb_slam2_tpu.utils import synth
+
+cv2 = pytest.importorskip("cv2")
+
+CAM = Intrinsics(fx=450.0, fy=450.0, cx=320.0, cy=240.0, width=640, height=480)
+
+
+def make_config(pose_prior: bool) -> SlamConfig:
+    return SlamConfig(
+        cam=CAM,
+        orb=OrbParams(n_features=800, n_levels=4),
+        fps=10.0,
+        pose_prior=pose_prior,
+        init_min_matches=60,
+        init_min_triangulated=40,
+        init_min_tracked_after_ba=60,
+    )
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synth.make_world(seed=3)
+
+
+class TestPosePriorMode:
+    def test_tracks_sequence(self, world):
+        poses = synth.aerial_trajectory(30, speed=0.3)
+        sys = System(make_config(pose_prior=True), enable_loop_closing=False)
+        states = []
+        for i, T in enumerate(poses):
+            img = synth.render(world, CAM, T)
+            sys.track_monocular_with_pose(img, i * 0.1, T)
+            states.append(sys.state)
+        assert states[2] == TrackState.OK or states[3] == TrackState.OK
+        ok_frames = sum(s == TrackState.OK for s in states)
+        assert ok_frames > 24, f"only {ok_frames} OK frames: {states}"
+        # map quality: points lie on the plane z=0
+        pts = sys.map_points()
+        assert len(pts) > 200
+        assert np.median(np.abs(pts[:, 2])) < 0.08, np.median(np.abs(pts[:, 2]))
+        assert sys.store.n_valid_keyframes() >= 2
+
+    def test_ply_export(self, world, tmp_path):
+        poses = synth.aerial_trajectory(8, speed=0.3)
+        sys = System(make_config(pose_prior=True), enable_loop_closing=False)
+        for i, T in enumerate(poses):
+            sys.track_monocular_with_pose(synth.render(world, CAM, T), i * 0.1, T)
+        p = tmp_path / "map.ply"
+        sys.save_map_ply(str(p))
+        from orb_slam2_tpu.utils import ply
+        pts = ply.read_ply_points(str(p))
+        assert len(pts) == len(sys.map_points())
+
+
+class TestEstimatedMode:
+    def test_ate_small(self, world):
+        poses = synth.aerial_trajectory(30, speed=0.3)
+        sys = System(make_config(pose_prior=False), enable_loop_closing=False)
+        est, gt = [], []
+        for i, T in enumerate(poses):
+            img = synth.render(world, CAM, T)
+            # GT poses only for bootstrap (monocular gauge anchor)
+            sys.track_monocular(img, i * 0.1, pose_hint=T)
+            if sys.state == TrackState.OK:
+                est.append(sys.trajectory[-1][2])
+                gt.append(T)
+        assert len(est) > 24, f"tracked {len(est)}/30"
+        est_c = np.stack([-P[:3, :3].T @ P[:3, 3] for P in est])
+        gt_c = np.stack([-P[:3, :3].T @ P[:3, 3] for P in gt])
+        ate = synth.ate_rmse(est_c, gt_c, align="se3")
+        # world units: camera flies at height 10, moves 0.3/frame
+        assert ate < 0.10, f"ATE {ate:.4f}"
