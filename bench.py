@@ -1,0 +1,76 @@
+"""Benchmark: end-to-end monocular tracking throughput on one chip.
+
+Workload = the reference's own example configuration
+(Examples/Monocular/shenzhen_simple.yaml): 1920x1440 grayscale frames,
+4000 ORB features, 8 pyramid levels, scale 1.2, pose-prior tracking.
+The reference's implicit real-time budget is its camera rate: 10 fps
+(yaml:22; BASELINE.md) on a "powerful computer (e.g. i7)" — that is the
+baseline this number is compared against.
+
+Prints one JSON line:
+  {"metric": "tracking_fps_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N/10}
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def main():
+    import jax
+    from orb_slam2_tpu.geom.camera import Intrinsics
+    from orb_slam2_tpu.ops.extractor import OrbParams
+    from orb_slam2_tpu.pipeline import SlamConfig, System, TrackState
+    from orb_slam2_tpu.utils import synth
+
+    # reference workload: 1920x1440, fx=fy=960, cx=960, cy=720, 4000
+    # features, 8 levels (shenzhen_simple.yaml:11-48)
+    cam = Intrinsics(fx=960.0, fy=960.0, cx=960.0, cy=720.0,
+                     width=1920, height=1440)
+    cfg = SlamConfig(
+        cam=cam,
+        orb=OrbParams(n_features=4000, n_levels=8, scale_factor=1.2),
+        fps=10.0,
+        pose_prior=True,
+        init_min_matches=80,
+        init_min_triangulated=50,
+        init_min_tracked_after_ba=80,
+    )
+
+    world = synth.make_world(seed=7, tex_size=4096, scale=120.0)
+    n_warm, n_meas = 8, 20
+    poses = synth.aerial_trajectory(n_warm + n_meas, height=12.0, speed=0.5)
+    frames = [synth.render(world, cam, T) for T in poses]
+
+    sys_ = System(cfg, enable_loop_closing=False)
+    for i in range(n_warm):
+        sys_.track_monocular_with_pose(frames[i], i * 0.1, poses[i])
+
+    t0 = time.perf_counter()
+    n_ok = 0
+    for i in range(n_warm, n_warm + n_meas):
+        f = sys_.track_monocular_with_pose(frames[i], i * 0.1, poses[i])
+        if sys_.state == TrackState.OK:
+            n_ok += 1
+    jax.effects_barrier()
+    dt = time.perf_counter() - t0
+
+    fps = n_meas / dt
+    print(json.dumps({
+        "metric": "tracking_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 2),
+    }))
+    print(f"# tracked OK: {n_ok}/{n_meas}, platform: {jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

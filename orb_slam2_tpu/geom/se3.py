@@ -52,12 +52,13 @@ def so3_exp(omega: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Inverse Rodrigues: (..., 3, 3) -> (..., 3) axis-angle.
 
-    Numerically robust near theta = 0 and theta = pi (uses the diagonal
-    to recover the axis when sin(theta) ~ 0).
+    Numerically robust near theta = 0 and theta = pi, and AD-safe: the
+    angle comes from atan2 (arccos has an infinite derivative at the
+    identity), and every guarded branch evaluates finitely on the
+    inputs of the other branch so jnp.where doesn't poison gradients.
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     # Generic branch: axis from the antisymmetric part.
     w_skew = jnp.stack(
         [
@@ -67,17 +68,20 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(w_skew * w_skew, axis=-1) + _EPS * _EPS)
+    theta = jnp.arctan2(sin_t, cos_t)
+    small = theta < 1e-4
+    sin_safe = jnp.where(sin_t < 1e-6, 1.0, sin_t)
     scale = jnp.where(
-        theta < 1e-4,
+        small,
         0.5 + theta * theta / 12.0,  # theta/(2 sin theta) Taylor
-        theta / (2.0 * sin_t + _EPS),
+        theta / (2.0 * sin_safe),
     )
     w_generic = scale[..., None] * w_skew
     # Near-pi branch: axis^2 from diagonal, signs from off-diagonals.
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis2 = jnp.clip((diag - cos_t[..., None]) / (1.0 - cos_t[..., None] + _EPS), 0.0, 1.0)
-    axis = jnp.sqrt(axis2)
+    axis = jnp.sqrt(axis2 + 1e-12)
     # Fix signs using the larger of the antisymmetric entries, falling back
     # to symmetric off-diagonal products (R[i,j]+R[j,i] = 2 a_i a_j (1-cos)).
     sx = jnp.where(jnp.abs(w_skew[..., 0]) > 1e-6, jnp.sign(w_skew[..., 0]), 1.0)
