@@ -158,6 +158,132 @@ def search_descriptors(
     return MatchResult(res.idx, res.dist, valid)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th",
+    "max_dist"))
+def search_by_projection_sim3(
+    pts_w, mp_desc, mp_normal, mp_max_dist, mp_valid,
+    Scw,
+    kp_xy, kp_octave, kp_desc, kp_valid, kp_has_mp,
+    scale_factors,
+    fx: float, fy: float, cx: float, cy: float,
+    bounds: tuple, n_levels: int, log_scale: float,
+    th: float = 7.5, max_dist: int = TH_LOW,
+) -> MatchResult:
+    """ORBmatcher::SearchByProjection(KF, Scw, vpPoints, vpMatched, th)
+    (src/ORBmatcher.cc:394-540) — loop map points projected through a
+    Sim3 world->camera into the current keyframe.
+
+    Checks: positive depth, in-image, distance within the point's scale
+    band, viewing cos > 0.5, candidate levels [pred-1, pred],
+    radius th * scale[pred], Hamming <= TH_LOW, no ratio test.
+    Already-matched keypoints are excluded.
+    """
+    from ..geom import sim3 as sim3_mod
+    pc = sim3_mod.apply(Scw[None], pts_w[None])[0]
+    z = pc[:, 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    u = fx * pc[:, 0] * inv_z + cx
+    v = fy * pc[:, 1] * inv_z + cy
+    minx, maxx, miny, maxy = bounds
+    in_img = (u >= minx) & (u < maxx) & (v >= miny) & (v < maxy)
+
+    # camera center in world: Scw^-1 * 0
+    ow = sim3_mod.apply_one(sim3_mod.inv(Scw), jnp.zeros(3))
+    po = pts_w - ow
+    dist = jnp.linalg.norm(po, axis=-1)
+    min_d = mp_max_dist / scale_factors[n_levels - 1]
+    dist_ok = (dist >= 0.8 * min_d) & (dist <= 1.2 * mp_max_dist)
+    vcos = jnp.sum(po * mp_normal, axis=-1) / jnp.maximum(dist, 1e-12)
+
+    ratio_d = jnp.maximum(mp_max_dist, 1e-12) / jnp.maximum(dist, 1e-12)
+    lvl = jnp.clip(jnp.ceil(jnp.log(ratio_d) / log_scale).astype(jnp.int32),
+                   0, n_levels - 1)
+    radius = th * scale_factors[lvl]
+
+    row_ok = mp_valid & (z > 0) & in_img & dist_ok & (vcos > 0.5)
+    uv = jnp.stack([u, v], axis=-1)
+    lvl_ok = (kp_octave[None, :] >= lvl[:, None] - 1) & (
+        kp_octave[None, :] <= lvl[:, None])
+    dmat = core.hamming_matrix(mp_desc, kp_desc)
+    mask = (row_ok[:, None] & kp_valid[None, :] & (~kp_has_mp)[None, :]
+            & lvl_ok & _chebyshev_window_mask(uv, kp_xy, radius))
+    res = core.best_match(dmat, mask, max_dist=max_dist, ratio=1.0)
+    valid = core.mutual_best(dmat, mask, res)
+    return MatchResult(res.idx, res.dist, valid)
+
+
+def _sim3_directional_match(pc_src, desc_src, valid_src, max_dist_src,
+                            S_dst_src,
+                            kp_xy, kp_octave, kp_desc, kp_valid,
+                            scale_factors, fx, fy, cx, cy, bounds,
+                            n_levels, log_scale, th):
+    """One direction of SearchBySim3: source map points (camera frame of
+    their own KF) mapped through S_dst_src into the destination image and
+    matched against the destination keypoints (src/ORBmatcher.cc:1430-1530)."""
+    from ..geom import sim3 as sim3_mod
+    pc = sim3_mod.apply(S_dst_src[None], pc_src[None])[0]
+    z = pc[:, 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    u = fx * pc[:, 0] * inv_z + cx
+    v = fy * pc[:, 1] * inv_z + cy
+    minx, maxx, miny, maxy = bounds
+    in_img = (u >= minx) & (u < maxx) & (v >= miny) & (v < maxy)
+    dist = jnp.linalg.norm(pc, axis=-1)
+    min_d = max_dist_src / scale_factors[n_levels - 1]
+    dist_ok = (dist >= min_d) & (dist <= max_dist_src)
+    ratio_d = jnp.maximum(max_dist_src, 1e-12) / jnp.maximum(dist, 1e-12)
+    lvl = jnp.clip(jnp.ceil(jnp.log(ratio_d) / log_scale).astype(jnp.int32),
+                   0, n_levels - 1)
+    radius = th * scale_factors[lvl]
+
+    row_ok = valid_src & (z > 0) & in_img & dist_ok
+    uv = jnp.stack([u, v], axis=-1)
+    lvl_ok = (kp_octave[None, :] >= lvl[:, None] - 1) & (
+        kp_octave[None, :] <= lvl[:, None] + 1)
+    dmat = core.hamming_matrix(desc_src, kp_desc)
+    mask = (row_ok[:, None] & kp_valid[None, :]
+            & lvl_ok & _chebyshev_window_mask(uv, kp_xy, radius))
+    res = core.best_match(dmat, mask, max_dist=TH_HIGH, ratio=1.0)
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th"))
+def search_by_sim3(
+    pc1, desc1, valid1, max_dist1, kp_xy1, kp_octave1, kp_valid1,
+    pc2, desc2, valid2, max_dist2, kp_xy2, kp_octave2, kp_valid2,
+    S12,
+    scale_factors,
+    fx: float, fy: float, cx: float, cy: float,
+    bounds: tuple, n_levels: int, log_scale: float,
+    th: float = 7.5,
+) -> MatchResult:
+    """ORBmatcher::SearchBySim3 (src/ORBmatcher.cc:1368-1630):
+    bidirectional Sim3-projected search between two keyframes' map-point
+    features; a pair is accepted only when both directions agree.
+
+    Rows are KF1 features (each carrying a map point, camera-1 frame
+    position pc1); returns for each an index into KF2's features.
+    """
+    from ..geom import sim3 as sim3_mod
+    S21 = sim3_mod.inv(S12)
+    # KF2 points into image 1 (matched against KF1 keypoints)
+    m21 = _sim3_directional_match(
+        pc2, desc2, valid2, max_dist2, S12,
+        kp_xy1, kp_octave1, desc1, kp_valid1 & valid1,
+        scale_factors, fx, fy, cx, cy, bounds, n_levels, log_scale, th)
+    # KF1 points into image 2
+    m12 = _sim3_directional_match(
+        pc1, desc1, valid1, max_dist1, S21,
+        kp_xy2, kp_octave2, desc2, kp_valid2 & valid2,
+        scale_factors, fx, fy, cx, cy, bounds, n_levels, log_scale, th)
+    # agreement: m12[i] = j and m21[j] = i
+    j = m12.idx                              # (N1,)
+    agree = m12.valid & m21.valid[j] & (m21.idx[j] == jnp.arange(j.shape[0]))
+    return MatchResult(j, m12.dist, agree)
+
+
 def epipolar_distance_sq(xy1, xy2, F12) -> jnp.ndarray:
     """(N1,2) x (N2,2) -> (N1,N2): squared distance of x2 to the
     epipolar line of x1 under F12 (CheckDistEpipolarLine,

@@ -24,9 +24,10 @@ COVIS_THRESHOLD = 15  # shared-observation threshold (src/KeyFrame.cc:396-520)
 
 
 def hamming_np(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
-    """Host popcount Hamming for small sets: (A, 8) x (B, 8) -> (A, B)."""
-    x = np.bitwise_xor(d1[:, None, :], d2[None, :, :])
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    """Host popcount Hamming for small sets: (A, 8) x (B, 8) -> (A, B).
+    Delegates to the native C++ kernel when built (native/slamcore.cc)."""
+    from .. import native
+    return native.hamming_matrix(d1, d2)
 
 
 @dataclass
@@ -72,6 +73,9 @@ class MapStore:
         self.covis: List[Dict[int, int]] = []
 
         self.max_kf_id = -1
+        # notified on KeyFrame::EraseAndSetBad (the reference calls
+        # mpKeyFrameDB->erase there); wired by System to PlaceRecognition
+        self.on_kf_erased = None
 
     # ------------------------------------------------------------------
     # map points
@@ -161,9 +165,8 @@ class MapStore:
         if len(descs) == 1:
             self.mp_desc[pid] = descs[0]
             return
-        dist = hamming_np(descs, descs)
-        med = np.median(dist, axis=1)
-        self.mp_desc[pid] = descs[int(np.argmin(med))]
+        from .. import native
+        self.mp_desc[pid] = descs[native.min_median_descriptor_index(descs)]
 
     def update_normal_and_depth(self, pid: int):
         """MapPoint::UpdateNormalAndDepth (src/MapPoint.cc:508-556)."""
@@ -326,6 +329,8 @@ class MapStore:
             self.kfs[kf.parent].children.discard(kid)
             kf.Tcp = kf.Tcw @ np.linalg.inv(self.kfs[kf.parent].Tcw)
         kf.valid = False
+        if self.on_kf_erased is not None:
+            self.on_kf_erased(kid)
 
     # ------------------------------------------------------------------
     # bulk views for device stages

@@ -1,0 +1,648 @@
+"""Loop detection, Sim3 verification, loop correction, pose-graph
+optimization and global BA.
+
+Replaces src/LoopClosing.cc.  The reference runs this on its own thread
+with stop/kill handshakes against LocalMapping and an ad-hoc global-BA
+thread (src/LoopClosing.cc:666-673); our pipeline is synchronous and
+deterministic, so the full sequence DetectLoop -> CheckCurKFsTcwAndLoopMPs
+-> CorrectLoop -> OptimizeEssentialGraph -> GBA runs inline per keyframe
+with identical thresholds:
+
+- skip when <10 KFs since the last loop (src/LoopClosing.cc:139),
+- covisibility-consistency across 3 consecutive detections (:60-61,
+  178-258),
+- BoW matches >= 20 -> Sim3 RANSAC -> SearchBySim3 -> OptimizeSim3 with
+  >= 20 inliers (:307-402),
+- >= 40 total matched loop points after Scw projection (:418-460).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geom import sim3 as sim3_mod
+from ..matching import search
+from ..models.mapstore import MapStore
+from ..optim import sim3_ransac, sim3_opt, pose_graph, ba
+from .config import SlamConfig
+from .place_recognition import PlaceRecognition
+from .tracking import pad_bucket
+from .local_mapping import gather_ba_problem
+
+
+def _sim3_from_se3(T: np.ndarray, s: float = 1.0) -> np.ndarray:
+    return np.asarray(sim3_mod.from_se3(jnp.asarray(T, jnp.float32),
+                                        float(s)))
+
+
+def _se3_from_sim3(g: np.ndarray) -> np.ndarray:
+    """Recover SE3 with translation divided by scale (the reference's
+    SE3 writeback, src/LoopClosing.cc:569-573, src/Optimizer.cc:929-940)."""
+    T = np.asarray(sim3_mod.to_se3(jnp.asarray(g)))  # [sR | t] embedded
+    s = float(np.asarray(sim3_mod.scale(jnp.asarray(g))))
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = T[:3, :3] / s
+    out[:3, 3] = T[:3, 3] / s
+    return out
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig, store: MapStore,
+                 place_rec: Optional[PlaceRecognition] = None):
+        self.cfg = cfg
+        self.store = store
+        self.pr = place_rec or PlaceRecognition(store)
+        self.last_loop_kf_id = 0
+        self.consistent_groups: List[Tuple[Set[int], int]] = []
+        self.n_loops_closed = 0
+        self.last_loop: Optional[dict] = None  # debug info for tests
+
+        cam = cfg.cam
+        self._cam_tuple = (float(cam.fx), float(cam.fy),
+                           float(cam.cx), float(cam.cy))
+        from ..geom.camera import undistorted_bounds
+        self.bounds = undistorted_bounds(cam)
+        from ..ops.extractor import level_sigma2, pyramid
+        self.sigma2 = level_sigma2(cfg.orb)
+        self.scale_factors = pyramid.scale_factors(
+            cfg.orb.n_levels, cfg.orb.scale_factor)[0].astype(np.float32)
+        self.log_scale = float(np.log(cfg.orb.scale_factor))
+        self._rng = np.random.default_rng(0)
+
+    def reset(self):
+        self.last_loop_kf_id = 0
+        self.consistent_groups = []
+        self.pr = PlaceRecognition(self.store, vocab=self.pr.vocab)
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kid: int) -> bool:
+        """One LoopClosing::Run iteration (src/LoopClosing.cc:77-98)."""
+        self.pr.add_keyframe(kid)
+        candidates = self._detect_loop(kid)
+        if not candidates:
+            return False
+        found = self._compute_sim3(kid, candidates)
+        if found is None:
+            return False
+        loop_kf, Scw, loop_mps, matched = found
+        self._correct_loop(kid, loop_kf, Scw, loop_mps, matched)
+        self.last_loop_kf_id = kid
+        self.n_loops_closed += 1
+        return True
+
+    # ------------------------------------------------------------------
+    # DetectLoop (src/LoopClosing.cc:125-258)
+    # ------------------------------------------------------------------
+    def _detect_loop(self, kid: int) -> List[int]:
+        store = self.store
+        if kid < self.last_loop_kf_id + self.cfg.loop_min_kfs_since_last:
+            return []
+        if not self.pr.ready:
+            return []
+        min_score = self.pr.min_covisible_score(kid)
+        cands = self.pr.loop_candidates(kid, min_score)
+        if not cands:
+            self.consistent_groups = []
+            return []
+
+        # covisibility-consistency check over consecutive detections
+        # (src/LoopClosing.cc:178-258)
+        enough: List[int] = []
+        current_groups: List[Tuple[Set[int], int]] = []
+        group_used = [False] * len(self.consistent_groups)
+        for cand in cands:
+            group = set(store.get_best_covisibles(cand, 10 ** 9)) | {cand}
+            consistent_for_some = False
+            for gi, (prev_set, prev_n) in enumerate(self.consistent_groups):
+                if group & prev_set:
+                    n = prev_n + 1
+                    if not group_used[gi]:
+                        current_groups.append((group, n))
+                        group_used[gi] = True
+                    if (n >= self.cfg.loop_consistency_threshold
+                            and cand not in enough):
+                        enough.append(cand)
+                    consistent_for_some = True
+            if not consistent_for_some:
+                current_groups.append((group, 0))
+        self.consistent_groups = current_groups
+        return enough
+
+    # ------------------------------------------------------------------
+    # CheckCurKFsTcwAndLoopMPs (src/LoopClosing.cc:274-460)
+    # ------------------------------------------------------------------
+    def _mp_features(self, kid: int):
+        """Feature indices of a KF that carry a valid map point."""
+        f = self.store.kfs[kid].frame
+        return np.array([i for i, p in enumerate(f.mp_ids)
+                         if p >= 0 and self.store.mp_valid[p]], np.int32)
+
+    def _cam_points(self, kid: int, feat_idx: np.ndarray) -> np.ndarray:
+        """World MP positions of the given features, in the KF's camera
+        frame."""
+        store = self.store
+        f = store.kfs[kid].frame
+        if len(feat_idx) == 0:
+            return np.zeros((0, 3), np.float32)
+        pos = np.stack([store.mp_pos[f.mp_ids[i]] for i in feat_idx])
+        T = store.kfs[kid].Tcw
+        return (pos @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+
+    def _compute_sim3(self, kid: int, candidates: List[int]):
+        store = self.store
+        fx, fy, cx, cy = self._cam_tuple
+        fcur = store.kfs[kid].frame
+        idx_cur = self._mp_features(kid)
+        if len(idx_cur) < self.cfg.loop_sim3_min_inliers:
+            return None
+
+        for cand in candidates:
+            idx_cand = self._mp_features(cand)
+            if len(idx_cand) < self.cfg.loop_sim3_min_inliers:
+                continue
+            fc = store.kfs[cand].frame
+
+            # --- BoW-style descriptor match between MP features ---
+            n1 = pad_bucket(len(idx_cur))
+            n2 = pad_bucket(len(idx_cand))
+            v1 = np.zeros(n1, bool); v1[:len(idx_cur)] = True
+            v2 = np.zeros(n2, bool); v2[:len(idx_cand)] = True
+            res = search.search_descriptors(
+                jnp.asarray(np.pad(fcur.desc[idx_cur],
+                                   ((0, n1 - len(idx_cur)), (0, 0)))),
+                jnp.asarray(v1),
+                jnp.asarray(np.pad(fcur.angle[idx_cur],
+                                   (0, n1 - len(idx_cur)))), None,
+                jnp.asarray(np.pad(fc.desc[idx_cand],
+                                   ((0, n2 - len(idx_cand)), (0, 0)))),
+                jnp.asarray(v2),
+                jnp.asarray(np.pad(fc.angle[idx_cand],
+                                   (0, n2 - len(idx_cand)))), None,
+                ratio=0.75)
+            mvalid = np.asarray(res.valid)[:len(idx_cur)]
+            midx = np.asarray(res.idx)[:len(idx_cur)]
+            rows = np.where(mvalid)[0]
+            if len(rows) < self.cfg.loop_sim3_min_inliers:
+                continue
+
+            # --- batched Sim3 RANSAC (replaces Sim3Solver::iterate) ---
+            fi_cur = idx_cur[rows]
+            fi_cand = idx_cand[midx[rows]]
+            p1 = self._cam_points(kid, fi_cur)
+            p2 = self._cam_points(cand, fi_cand)
+            uv1 = fcur.xy[fi_cur]
+            uv2 = fc.xy[fi_cand]
+            me1 = (sim3_ransac.CHI2_SIM3
+                   * self.sigma2[fcur.octave[fi_cur]]).astype(np.float32)
+            me2 = (sim3_ransac.CHI2_SIM3
+                   * self.sigma2[fc.octave[fi_cand]]).astype(np.float32)
+            N = pad_bucket(len(rows), 64)
+            padn = N - len(rows)
+            H = 256
+            samples = self._rng.integers(0, len(rows), (H, 3)).astype(np.int32)
+            rr = sim3_ransac.sim3_ransac(
+                jnp.asarray(np.pad(p1, ((0, padn), (0, 0)))),
+                jnp.asarray(np.pad(p2, ((0, padn), (0, 0)))),
+                jnp.asarray(np.pad(uv1, ((0, padn), (0, 0)))),
+                jnp.asarray(np.pad(uv2, ((0, padn), (0, 0)))),
+                jnp.asarray(np.pad(me1, (0, padn))),
+                jnp.asarray(np.pad(me2, (0, padn))),
+                jnp.asarray(np.pad(np.ones(len(rows), bool), (0, padn))),
+                jnp.asarray(samples), fx, fy, cx, cy,
+                min_inliers=self.cfg.loop_sim3_min_inliers)
+            if not bool(rr.ok):
+                continue
+            S12 = np.asarray(rr.S12)
+
+            # --- SearchBySim3: grow the match set (src/LoopClosing.cc:378) ---
+            pc1_all = np.zeros((fcur.n, 3), np.float32)
+            pc2_all = np.zeros((fc.n, 3), np.float32)
+            mv1 = np.zeros(fcur.n, bool)
+            mv2 = np.zeros(fc.n, bool)
+            md1 = np.ones(fcur.n, np.float32)
+            md2 = np.ones(fc.n, np.float32)
+            pc1_all[idx_cur] = self._cam_points(kid, idx_cur)
+            pc2_all[idx_cand] = self._cam_points(cand, idx_cand)
+            mv1[idx_cur] = True
+            mv2[idx_cand] = True
+            for i in idx_cur:
+                md1[i] = store.mp_max_dist[fcur.mp_ids[i]]
+            for i in idx_cand:
+                md2[i] = store.mp_max_dist[fc.mp_ids[i]]
+            sres = search.search_by_sim3(
+                jnp.asarray(pc1_all), jnp.asarray(fcur.desc),
+                jnp.asarray(mv1), jnp.asarray(md1),
+                jnp.asarray(fcur.xy), jnp.asarray(fcur.octave),
+                jnp.asarray(fcur.valid),
+                jnp.asarray(pc2_all), jnp.asarray(fc.desc),
+                jnp.asarray(mv2), jnp.asarray(md2),
+                jnp.asarray(fc.xy), jnp.asarray(fc.octave),
+                jnp.asarray(fc.valid),
+                jnp.asarray(S12), jnp.asarray(self.scale_factors),
+                fx, fy, cx, cy, self.bounds,
+                self.cfg.orb.n_levels, self.log_scale, th=7.5)
+            sm_idx = np.asarray(sres.idx)
+            sm_valid = np.asarray(sres.valid)
+
+            # union of BoW matches and Sim3-search matches, keyed by cur feature
+            pair: Dict[int, int] = {int(a): int(b)
+                                    for a, b in zip(fi_cur, fi_cand)}
+            for i in np.where(sm_valid)[0]:
+                pair.setdefault(int(i), int(sm_idx[i]))
+            fi_cur2 = np.array(sorted(pair), np.int32)
+            fi_cand2 = np.array([pair[i] for i in fi_cur2], np.int32)
+
+            # --- OptimizeSim3 (src/Optimizer.cc:985-1218) ---
+            p1 = self._cam_points(kid, fi_cur2)
+            p2 = self._cam_points(cand, fi_cand2)
+            M = pad_bucket(len(fi_cur2), 64)
+            padm = M - len(fi_cur2)
+            ores = sim3_opt.optimize_sim3(
+                jnp.asarray(S12),
+                jnp.asarray(np.pad(p1, ((0, padm), (0, 0)))),
+                jnp.asarray(np.pad(p2, ((0, padm), (0, 0)))),
+                jnp.asarray(np.pad(fcur.xy[fi_cur2], ((0, padm), (0, 0)))),
+                jnp.asarray(np.pad(fc.xy[fi_cand2], ((0, padm), (0, 0)))),
+                jnp.asarray(np.pad(
+                    1.0 / self.sigma2[fcur.octave[fi_cur2]], (0, padm)).astype(np.float32)),
+                jnp.asarray(np.pad(
+                    1.0 / self.sigma2[fc.octave[fi_cand2]], (0, padm)).astype(np.float32)),
+                jnp.asarray(np.pad(np.ones(len(fi_cur2), bool), (0, padm))),
+                fx, fy, cx, cy, iters=8)
+            n_inl = int(ores.n_inliers)
+            if n_inl < self.cfg.loop_sim3_min_inliers:
+                continue
+            S12 = np.asarray(ores.S12)
+            inl = np.asarray(ores.inliers1 & ores.inliers2)[:len(fi_cur2)]
+
+            # matched loop MPs on current-KF features (the Sim3 inliers)
+            matched: Dict[int, int] = {}
+            for j in np.where(inl)[0]:
+                matched[int(fi_cur2[j])] = int(fc.mp_ids[fi_cand2[j]])
+
+            # corrected Scw = S12 * Sim3(Tcw_cand) (src/LoopClosing.cc:404-409)
+            Smw = _sim3_from_se3(store.kfs[cand].Tcw)
+            Scw = np.asarray(sim3_mod.compose(jnp.asarray(S12),
+                                              jnp.asarray(Smw)))
+
+            # --- gather loop-group map points + Scw projection ---
+            loop_mps: List[int] = []
+            seen: Set[int] = set()
+            for gk in [cand] + store.get_best_covisibles(cand, 10 ** 9):
+                for pid in store.kfs[gk].frame.mp_ids:
+                    if pid >= 0 and pid not in seen and store.mp_valid[pid]:
+                        seen.add(pid)
+                        loop_mps.append(pid)
+            n_total = self._project_loop_points(kid, Scw, loop_mps, matched)
+            if n_total < self.cfg.loop_min_total_matches:
+                continue
+            return cand, Scw, loop_mps, matched
+        return None
+
+    def _project_loop_points(self, kid: int, Scw: np.ndarray,
+                             loop_mps: List[int],
+                             matched: Dict[int, int]) -> int:
+        """SearchByProjection(Scw) over loop map points, adding new
+        matches into ``matched`` (src/LoopClosing.cc:418-460)."""
+        store = self.store
+        f = store.kfs[kid].frame
+        fx, fy, cx, cy = self._cam_tuple
+        if not loop_mps:
+            return len(matched)
+        soa = store.points_soa(loop_mps)
+        P = pad_bucket(len(loop_mps))
+        pad = P - len(loop_mps)
+        already = np.zeros(f.n, bool)
+        for i in matched:
+            already[i] = True
+        res = search.search_by_projection_sim3(
+            jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
+            jnp.asarray(np.pad(soa["valid"], (0, pad))),
+            jnp.asarray(Scw),
+            jnp.asarray(f.xy), jnp.asarray(f.octave),
+            jnp.asarray(f.desc), jnp.asarray(f.valid),
+            jnp.asarray(already),
+            jnp.asarray(self.scale_factors),
+            fx, fy, cx, cy, self.bounds,
+            self.cfg.orb.n_levels, self.log_scale, th=10.0)
+        rvalid = np.asarray(res.valid)[:len(loop_mps)]
+        ridx = np.asarray(res.idx)[:len(loop_mps)]
+        claimed = set(matched.values())
+        for j in np.where(rvalid)[0]:
+            pid = loop_mps[j]
+            feat = int(ridx[j])
+            if feat not in matched and pid not in claimed:
+                matched[feat] = pid
+                claimed.add(pid)
+        return len(matched)
+
+    # ------------------------------------------------------------------
+    # CorrectLoop (src/LoopClosing.cc:471-680)
+    # ------------------------------------------------------------------
+    def _correct_loop(self, kid: int, loop_kf: int, Scw: np.ndarray,
+                      loop_mps: List[int], matched: Dict[int, int]):
+        store = self.store
+        fx, fy, cx, cy = self._cam_tuple
+
+        group = [kid] + [k for k in store.get_best_covisibles(kid, 10 ** 9)
+                         if store.kfs[k].valid]
+        T_cur = store.kfs[kid].Tcw.copy()
+        corrected: Dict[int, np.ndarray] = {kid: Scw}
+        non_corrected: Dict[int, np.ndarray] = {}
+        for gk in group:
+            T_g = store.kfs[gk].Tcw
+            non_corrected[gk] = _sim3_from_se3(T_g)
+            if gk != kid:
+                T_gc = (T_g @ np.linalg.inv(T_cur)).astype(np.float32)
+                S_gc = _sim3_from_se3(T_gc)
+                corrected[gk] = np.asarray(sim3_mod.compose(
+                    jnp.asarray(S_gc), jnp.asarray(Scw)))
+
+        # remap group map points through corrected^-1 * non_corrected
+        # (src/LoopClosing.cc:520-560)
+        moved: Set[int] = set()
+        for gk in group:
+            Sg = jnp.asarray(corrected[gk])
+            Sg_nc = jnp.asarray(non_corrected[gk])
+            fix = sim3_mod.compose(sim3_mod.inv(Sg), Sg_nc)
+            pids = [p for p in store.kfs[gk].frame.mp_ids
+                    if p >= 0 and p not in moved and store.mp_valid[p]]
+            if pids:
+                pos = np.stack([store.mp_pos[p] for p in pids])
+                new = np.asarray(sim3_mod.apply(fix[None],
+                                                jnp.asarray(pos)[None])[0])
+                for p, x in zip(pids, new):
+                    store.mp_pos[p] = x.astype(np.float32)
+                    moved.add(p)
+            # SE3 writeback with t/s (src/LoopClosing.cc:569-573)
+            store.set_kf_pose(gk, _se3_from_sim3(corrected[gk]))
+        for p in moved:
+            store.update_normal_and_depth(p)
+        for gk in group:
+            store.update_connections(gk)
+
+        # replace/add matched loop MPs on the current KF
+        # (src/LoopClosing.cc:599-621)
+        fcur = store.kfs[kid].frame
+        for feat, lp in matched.items():
+            if not store.mp_valid[lp]:
+                continue
+            cur_p = fcur.mp_ids[feat]
+            if cur_p >= 0 and store.mp_valid[cur_p] and cur_p != lp:
+                store.replace_point(cur_p, lp)
+            elif cur_p < 0:
+                store.add_observation(lp, kid, feat)
+                store.update_point_descriptor(lp)
+                store.update_normal_and_depth(lp)
+
+        # SearchAndFuse: loop MPs into every corrected KF, radius x4
+        # (src/LoopClosing.cc:688-725)
+        pre_connections = {gk: set(store.covis[gk]) for gk in group}
+        for gk in group:
+            self._fuse_loop_points(gk, corrected[gk], loop_mps)
+        for gk in group:
+            store.update_connections(gk)
+
+        # new loop connections (src/LoopClosing.cc:633-654)
+        loop_connections: Dict[int, Set[int]] = {}
+        group_set = set(group)
+        for gk in group:
+            new_conn = set(store.covis[gk]) - pre_connections[gk] - group_set
+            if new_conn:
+                loop_connections[gk] = new_conn
+
+        self._optimize_essential_graph(kid, loop_kf, corrected,
+                                       non_corrected, loop_connections)
+
+        # add loop edges (src/LoopClosing.cc:663-664)
+        store.kfs[kid].loop_edges.add(loop_kf)
+        store.kfs[loop_kf].loop_edges.add(kid)
+
+        self.run_global_ba(loop_kf_id=kid)
+        self.last_loop = dict(kid=kid, loop_kf=loop_kf,
+                              n_matched=len(matched),
+                              loop_connections={k: set(v) for k, v in
+                                                loop_connections.items()})
+
+    def _fuse_loop_points(self, gk: int, S_gw: np.ndarray,
+                          loop_mps: List[int]):
+        """ORBmatcher::Fuse(pKF, Scw, points, 4) with Replace semantics
+        (src/ORBmatcher.cc:1218-1366, src/LoopClosing.cc:700-723)."""
+        store = self.store
+        f = store.kfs[gk].frame
+        fx, fy, cx, cy = self._cam_tuple
+        pids = [p for p in loop_mps
+                if store.mp_valid[p] and gk not in store.mp_obs[p]]
+        if not pids:
+            return
+        soa = store.points_soa(pids)
+        P = pad_bucket(len(pids))
+        pad = P - len(pids)
+        res = search.search_by_projection_sim3(
+            jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
+            jnp.asarray(np.pad(soa["valid"], (0, pad))),
+            jnp.asarray(S_gw),
+            jnp.asarray(f.xy), jnp.asarray(f.octave),
+            jnp.asarray(f.desc), jnp.asarray(f.valid),
+            jnp.asarray(np.zeros(f.n, bool)),  # bound features allowed
+            jnp.asarray(self.scale_factors),
+            fx, fy, cx, cy, self.bounds,
+            self.cfg.orb.n_levels, self.log_scale, th=4.0)
+        rvalid = np.asarray(res.valid)[:len(pids)]
+        ridx = np.asarray(res.idx)[:len(pids)]
+        for j in np.where(rvalid)[0]:
+            pid = pids[j]
+            feat = int(ridx[j])
+            existing = f.mp_ids[feat]
+            if existing >= 0 and store.mp_valid[existing]:
+                if existing != pid:
+                    # loop point wins (src/LoopClosing.cc:716-719)
+                    store.replace_point(existing, pid)
+            elif store.mp_valid[pid] and gk not in store.mp_obs[pid]:
+                store.add_observation(pid, gk, feat)
+
+    # ------------------------------------------------------------------
+    # OptimizeEssentialGraph (src/Optimizer.cc:654-983)
+    # ------------------------------------------------------------------
+    def _optimize_essential_graph(self, cur_kf: int, loop_kf: int,
+                                  corrected: Dict[int, np.ndarray],
+                                  non_corrected: Dict[int, np.ndarray],
+                                  loop_connections: Dict[int, Set[int]]):
+        store = self.store
+        kids = store.valid_kf_ids()
+        vid = {k: i for i, k in enumerate(kids)}
+        K = len(kids)
+
+        sims0 = np.zeros((K, 8), np.float32)
+        sims_before = np.zeros((K, 8), np.float32)
+        for k, i in vid.items():
+            s = corrected.get(k)
+            if s is None:
+                s = _sim3_from_se3(store.kfs[k].Tcw)
+            sims0[i] = s
+            sims_before[i] = s
+
+        def rel(Si_w: np.ndarray, Sj_w: np.ndarray) -> np.ndarray:
+            """Sji such that residual log(Sji * Si * Sj^-1) = 0."""
+            return np.asarray(sim3_mod.compose(
+                jnp.asarray(Sj_w),
+                sim3_mod.inv(jnp.asarray(Si_w))))
+
+        def vertex_sim(k: int) -> np.ndarray:
+            return sims0[vid[k]]
+
+        def nc_sim(k: int) -> np.ndarray:
+            s = non_corrected.get(k)
+            return s if s is not None else _sim3_from_se3(store.kfs[k].Tcw)
+
+        edges_i: List[int] = []
+        edges_j: List[int] = []
+        meas: List[np.ndarray] = []
+        weights: List[float] = []
+        inserted: Set[Tuple[int, int]] = set()
+
+        def add_edge(ki: int, kj: int, Sji: np.ndarray, w: float = 1.0):
+            key = (min(ki, kj), max(ki, kj))
+            if key in inserted or ki == kj:
+                return
+            inserted.add(key)
+            edges_i.append(vid[ki])
+            edges_j.append(vid[kj])
+            meas.append(Sji)
+            weights.append(w)
+
+        # loop connections: current vertex estimates (corrected poses),
+        # weight gate 100 except the (cur, loop) pair (src/Optimizer.cc:720-745)
+        for ki, conns in loop_connections.items():
+            for kj in conns:
+                if kj not in vid or ki not in vid:
+                    continue
+                if not ((ki == cur_kf and kj == loop_kf)
+                        or (ki == loop_kf and kj == cur_kf)):
+                    if store.covis[ki].get(kj, 0) < 100:
+                        continue
+                add_edge(ki, kj, rel(vertex_sim(ki), vertex_sim(kj)))
+
+        # normal edges measured with PRE-correction poses
+        # (src/Optimizer.cc:747-830)
+        for k in kids:
+            kf = store.kfs[k]
+            Siw_nc = nc_sim(k)
+            if kf.parent >= 0 and kf.parent in vid:
+                add_edge(k, kf.parent, rel(Siw_nc, nc_sim(kf.parent)))
+            for le in kf.loop_edges:
+                if le < k and le in vid:
+                    add_edge(k, le, rel(Siw_nc, nc_sim(le)))
+            for kj in store.get_covisibles_by_weight(k, 100):
+                if kj < k and kj in vid and kj != kf.parent \
+                        and kj not in kf.children:
+                    add_edge(k, kj, rel(Siw_nc, nc_sim(kj)))
+
+        if not edges_i:
+            return
+
+        Kp = pad_bucket(K, 8)
+        E = pad_bucket(len(edges_i), 16)
+        fixed = np.zeros(Kp, bool)
+        fixed[K:] = True
+        fixed[vid[loop_kf]] = True
+        sims_p = np.concatenate(
+            [sims0, np.tile(np.asarray(sim3_mod.identity()), (Kp - K, 1))])
+        ei = np.pad(np.asarray(edges_i, np.int32), (0, E - len(edges_i)))
+        ej = np.pad(np.asarray(edges_j, np.int32), (0, E - len(edges_i)))
+        em = np.concatenate(
+            [np.stack(meas),
+             np.tile(np.asarray(sim3_mod.identity()),
+                     (E - len(meas), 1))]).astype(np.float32)
+        ew = np.pad(np.asarray(weights, np.float32), (0, E - len(weights)))
+
+        res = pose_graph.optimize_pose_graph(
+            jnp.asarray(sims_p), jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(em), jnp.asarray(ew), jnp.asarray(fixed),
+            iters=20, cg_iters=30)
+        sims_new = np.asarray(res.sims)[:K]
+
+        # writeback poses (src/Optimizer.cc:929-940)
+        for k, i in vid.items():
+            store.set_kf_pose(k, _se3_from_sim3(sims_new[i]))
+
+        # remap map points via their reference KF (src/Optimizer.cc:944-983)
+        for pid in range(store.n_points()):
+            if not store.mp_valid[pid]:
+                continue
+            ref = store.mp_first_kf[pid]
+            if ref not in vid:
+                obs = store.mp_obs[pid]
+                ref = next((k for k in obs if k in vid), None)
+                if ref is None:
+                    continue
+            i = vid[ref]
+            S_before = jnp.asarray(sims_before[i])
+            S_after = jnp.asarray(sims_new[i])
+            fix = sim3_mod.compose(sim3_mod.inv(S_after), S_before)
+            store.mp_pos[pid] = np.asarray(sim3_mod.apply_one(
+                fix, jnp.asarray(store.mp_pos[pid]))).astype(np.float32)
+        for pid in range(store.n_points()):
+            if store.mp_valid[pid]:
+                store.update_normal_and_depth(pid)
+
+    # ------------------------------------------------------------------
+    # RunGlobalBundleAdjustment (src/LoopClosing.cc:753-894)
+    # ------------------------------------------------------------------
+    def run_global_ba(self, loop_kf_id: int = 0, iters: int = 10):
+        """Full-map BA, gauge fixed at KF 0, no robust kernel (the
+        reference's post-loop GBA, src/LoopClosing.cc:764-768).  Our
+        pipeline is synchronous so no keyframes are created mid-GBA and
+        the spanning-tree propagation (src/LoopClosing.cc:807-884)
+        reduces to a direct writeback."""
+        store = self.store
+        kids = store.valid_kf_ids()
+        if len(kids) < 2:
+            return
+        from ..ops.extractor import level_sigma2
+        inv_sigma2 = (1.0 / self.sigma2).astype(np.float32)
+        pids, packed = gather_ba_problem(store, kids, inv_sigma2)
+        if packed is None or len(pids) == 0:
+            return
+        obs_kf, obs_pt, obs_uv, obs_sig, meta = packed
+        poses = np.stack([store.kfs[k].Tcw for k in kids])
+        points0 = np.stack([store.mp_pos[p] for p in pids])
+        fixed = np.zeros(len(kids), bool)
+        fixed[0] = True
+
+        Kp = pad_bucket(len(kids), 8)
+        P = pad_bucket(len(pids))
+        O = pad_bucket(len(obs_kf))
+        fx, fy, cx, cy = self._cam_tuple
+        eye = np.broadcast_to(np.eye(4, dtype=np.float32),
+                              (Kp - len(kids), 4, 4))
+        res = ba.bundle_adjust(
+            jnp.asarray(np.concatenate([poses, eye])),
+            jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
+            jnp.asarray(np.pad(obs_kf, (0, O - len(obs_kf)))),
+            jnp.asarray(np.pad(obs_pt, (0, O - len(obs_kf)))),
+            jnp.asarray(np.pad(obs_uv, ((0, O - len(obs_kf)), (0, 0)))),
+            jnp.asarray(np.pad(obs_sig, (0, O - len(obs_kf)))),
+            jnp.asarray(np.pad(np.ones(len(obs_kf), bool),
+                               (0, O - len(obs_kf)))),
+            jnp.asarray(np.pad(fixed, (0, Kp - len(kids)),
+                               constant_values=True)),
+            fx, fy, cx, cy, iters=iters, cg_iters=30, use_huber=False)
+        new_poses = np.asarray(res.cam_Tcw)
+        new_pts = np.asarray(res.points)
+        for i, k in enumerate(kids):
+            if not fixed[i]:
+                store.set_kf_pose(k, new_poses[i])
+        for j, p in enumerate(pids):
+            store.mp_pos[p] = new_pts[j]
+        for p in pids:
+            if store.mp_valid[p]:
+                store.update_normal_and_depth(p)

@@ -1,0 +1,126 @@
+"""Shared place-recognition state: vocabulary + BoW keyframe database.
+
+The reference loads a prebuilt 1M-word ORBvoc.bin at startup
+(src/System.cc:65-72) and every KeyFrame computes its BoW vector
+against it (src/KeyFrame.cc ComputeBoW).  We support both modes:
+
+- an explicit :class:`~orb_slam2_tpu.models.vocabulary.Vocabulary`
+  (trained offline with ``Vocabulary.train`` or converted from an
+  ORBvoc.bin via :mod:`orb_slam2_tpu.io.orbvoc`),
+- lazy self-training: once ``min_train_keyframes`` keyframes exist, a
+  vocabulary is trained from their descriptors and all pending BoW
+  vectors are backfilled.  This keeps the engine dependency-free on
+  datasets where no vocabulary is shipped.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..models.keyframe_db import KeyFrameDatabase
+from ..models.mapstore import MapStore
+from ..models.vocabulary import Vocabulary
+
+
+class PlaceRecognition:
+    def __init__(self, store: MapStore,
+                 vocab: Optional[Vocabulary] = None,
+                 min_train_keyframes: int = 4,
+                 train_k: int = 8, train_levels: int = 3):
+        self.store = store
+        self.vocab = vocab
+        self.min_train_keyframes = min_train_keyframes
+        self.train_k = train_k
+        self.train_levels = train_levels
+        self.db: Optional[KeyFrameDatabase] = (
+            KeyFrameDatabase(vocab) if vocab is not None else None)
+        self.bow: Dict[int, dict] = {}      # kid -> BoW vector
+        self._pending: List[int] = []       # KFs awaiting a vocabulary
+
+    # ------------------------------------------------------------------
+    def _train_if_ready(self):
+        if self.vocab is not None:
+            return
+        kids = [kf.kid for kf in self.store.kfs if kf.valid]
+        if len(kids) < self.min_train_keyframes:
+            return
+        descs = []
+        for kid in kids:
+            f = self.store.kfs[kid].frame
+            descs.append(f.desc[f.valid])
+        desc = np.concatenate(descs)
+        if len(desc) < 2 * self.train_k ** self.train_levels:
+            return
+        self.vocab = Vocabulary.train(
+            desc, k=self.train_k, levels=self.train_levels,
+            kmeans_iters=4, seed=0, max_train=30_000)
+        self.db = KeyFrameDatabase(self.vocab)
+
+    def _compute_bow(self, kid: int) -> dict:
+        f = self.store.kfs[kid].frame
+        return self.vocab.bow_vector(f.desc, f.valid)
+
+    # ------------------------------------------------------------------
+    def add_keyframe(self, kid: int):
+        """KeyFrame::ComputeBoW + KeyFrameDatabase::add.  BoW insertion
+        into the inverted file is deferred to loop/reloc query time in
+        the reference too (LoopClosing adds the KF to the DB after
+        DetectLoop, src/LoopClosing.cc:172-175); here we add immediately
+        but exclude the query KF in the candidate searches."""
+        if self.vocab is None:
+            self._pending.append(kid)
+            self._train_if_ready()
+            if self.vocab is None:
+                return
+            for p in self._pending:
+                if self.store.kfs[p].valid and p not in self.bow:
+                    vec = self._compute_bow(p)
+                    self.bow[p] = vec
+                    self.db.add(p, vec)
+            self._pending.clear()
+            return
+        vec = self._compute_bow(kid)
+        self.bow[kid] = vec
+        self.db.add(kid, vec)
+
+    def erase_keyframe(self, kid: int):
+        if self.db is not None:
+            self.db.erase(kid)
+        self.bow.pop(kid, None)
+
+    def frame_bow(self, desc: np.ndarray, valid: np.ndarray) -> Optional[dict]:
+        if self.vocab is None:
+            return None
+        return self.vocab.bow_vector(desc, valid)
+
+    @property
+    def ready(self) -> bool:
+        return self.vocab is not None
+
+    # ------------------------------------------------------------------
+    def loop_candidates(self, kid: int, min_score: float) -> List[int]:
+        if self.db is None or kid not in self.bow:
+            return []
+        out = self.db.detect_loop_candidates(self.store, kid, min_score)
+        return [k for k in out if k != kid and self.store.kfs[k].valid]
+
+    def reloc_candidates(self, bow_vec: dict) -> List[int]:
+        if self.db is None or bow_vec is None:
+            return []
+        out = self.db.detect_relocalization_candidates(self.store, bow_vec)
+        return [k for k in out if self.store.kfs[k].valid]
+
+    def score(self, v1: dict, v2: dict) -> float:
+        return Vocabulary.score_l1(v1, v2)
+
+    def min_covisible_score(self, kid: int) -> float:
+        """minScore = min BoW similarity against covisible neighbors
+        (src/LoopClosing.cc:146-162)."""
+        if kid not in self.bow:
+            return 1.0
+        vec = self.bow[kid]
+        scores = [self.score(vec, self.bow[nb])
+                  for nb in self.store.covis[kid]
+                  if nb in self.bow and self.store.kfs[nb].valid]
+        return min(scores) if scores else 1.0

@@ -26,21 +26,33 @@ from .tracking import Tracker, TrackState
 
 
 class System:
-    def __init__(self, config: SlamConfig, enable_loop_closing: bool = True):
+    def __init__(self, config: SlamConfig, enable_loop_closing: bool = True,
+                 vocab=None):
         self.cfg = config
         self.store = MapStore()
         self.store.set_scale_info(config.orb.scale_factor, config.orb.n_levels)
         self.factory = FrameFactory(config.cam, config.orb)
         self.tracker = Tracker(config, self.store, self.factory)
         self.mapper = LocalMapper(config, self.store)
+
+        # place recognition (vocabulary + BoW database) backs both loop
+        # closing and relocalization (src/System.cc:65-83)
+        from .place_recognition import PlaceRecognition
+        from .relocalization import Relocalizer
+        self.place_rec = PlaceRecognition(self.store, vocab=vocab)
+        self.store.on_kf_erased = self.place_rec.erase_keyframe
+        self.relocalizer = Relocalizer(config, self.store, self.place_rec)
+        self.tracker.relocalize = self.relocalizer
+
         self.loop_closer = None
         if enable_loop_closing:
-            try:
-                from .loop_closing import LoopCloser
-                self.loop_closer = LoopCloser(config, self.store)
-                self.mapper.on_keyframe_processed = self.loop_closer.process_keyframe
-            except ImportError:
-                pass
+            from .loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(config, self.store,
+                                          place_rec=self.place_rec)
+            self.mapper.on_keyframe_processed = self.loop_closer.process_keyframe
+        else:
+            # still feed the BoW database so relocalization works
+            self.mapper.on_keyframe_processed = self.place_rec.add_keyframe
 
         self.tracker.on_new_keyframe = self._on_new_keyframe
         self.tracker.on_reset = self.reset
@@ -56,6 +68,7 @@ class System:
     def track_monocular_with_pose(self, image, timestamp: float,
                                   Tcw: np.ndarray) -> Frame:
         """System::TrackMonocularWithPose (src/System.cc:237-258)."""
+        self._last_image = np.asarray(image)
         frame = self.tracker.track(image, timestamp, pose_prior=np.asarray(Tcw, np.float32))
         self._record(frame)
         return frame
@@ -65,6 +78,7 @@ class System:
         """Upstream-style tracking.  ``pose_hint`` may supply poses for
         the two bootstrap frames (monocular scale/gauge anchor); it is
         ignored once the map is initialized."""
+        self._last_image = np.asarray(image)
         hint = None
         if self.tracker.state in (TrackState.NO_IMAGES_YET,
                                   TrackState.NOT_INITIALIZED):
@@ -86,9 +100,19 @@ class System:
         self.tracker.store = self.store
         self.mapper.store = self.store
         self.mapper.recent_points = []
+        from .place_recognition import PlaceRecognition
+        self.place_rec = PlaceRecognition(self.store,
+                                          vocab=self.place_rec.vocab)
+        self.store.on_kf_erased = self.place_rec.erase_keyframe
+        self.relocalizer.store = self.store
+        self.relocalizer.pr = self.place_rec
         if self.loop_closer is not None:
             self.loop_closer.store = self.store
-            self.loop_closer.reset()
+            self.loop_closer.pr = self.place_rec
+            self.loop_closer.last_loop_kf_id = 0
+            self.loop_closer.consistent_groups = []
+        else:
+            self.mapper.on_keyframe_processed = self.place_rec.add_keyframe
         self.tracker.state = TrackState.NO_IMAGES_YET
         self.tracker.init_frame = None
         self.tracker.last_frame = None
@@ -122,3 +146,52 @@ class System:
         T = self.real_transform
         pts = pts @ T[:3, :3].T + T[:3, 3]
         ply.write_ply_points(path, pts)
+
+    # ------------------------------------------------------------------
+    def tracked_points(self):
+        """GetTrackedMapPoints/GetTrackedKeyPointsUn (include/System.h:
+        95-101): (pids, feature_idx) of the last frame's live bindings."""
+        frame = self.tracker.last_frame
+        if frame is None:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        feat = np.array(
+            [i for i, p in enumerate(frame.mp_ids)
+             if p >= 0 and not frame.mp_outlier[i]
+             and self.store.mp_valid[p]], np.int32)
+        pids = np.array([frame.mp_ids[i] for i in feat], np.int32)
+        return pids, feat
+
+    def save_tracked_map_ply(self, path: str) -> bool:
+        """SaveTrackedMap (src/System.cc:260-322): the last frame's
+        tracked map points in CAMERA space with per-vertex RGB (sampled
+        from the input image), pixel coords and octave, plus a `frame`
+        element carrying the id, Tcw * realTransform^-1, and K."""
+        frame = self.tracker.last_frame
+        pids, feat = self.tracked_points()
+        if frame is None or len(pids) == 0:
+            return False
+        pos_w = np.stack([self.store.mp_pos[p] for p in pids])
+        Tin = frame.Tcw
+        pts_cam = pos_w @ Tin[:3, :3].T + Tin[:3, 3]
+        uv = frame.xy_raw[feat]
+        img = getattr(self, "_last_image", None)
+        if img is None:
+            colors = np.full((len(feat), 3), 255, np.uint8)
+        else:
+            yy = np.clip(uv[:, 1].astype(int), 0, img.shape[0] - 1)
+            xx = np.clip(uv[:, 0].astype(int), 0, img.shape[1] - 1)
+            if img.ndim == 2:
+                g = img[yy, xx].astype(np.uint8)
+                colors = np.stack([g, g, g], -1)
+            else:
+                colors = img[yy, xx, :3].astype(np.uint8)
+        Tcw_out = frame.Tcw @ np.linalg.inv(self.real_transform)
+        from ..utils import ply
+        ply.write_tracked_frame(
+            path, frame.frame_id, Tcw_out, np.asarray(self.cfg.cam.K),
+            pts_cam, colors, uv, frame.octave[feat])
+        return True
+
+    def set_real_transform(self, T: np.ndarray):
+        """System::SetRealTransform (include/System.h:171-173)."""
+        self.real_transform = np.asarray(T, np.float32)
