@@ -1,0 +1,133 @@
+"""Binary ORBvoc.bin parser -> device-friendly Vocabulary.
+
+Reads the DBoW2 binary vocabulary format written by
+TemplatedVocabulary::saveToBinaryFile and read by loadFromBinaryFile
+(Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1444-1546):
+
+  header:  u32 nb_nodes, u32 size_node, i32 k, i32 L, i32 scoring,
+           i32 weighting
+  records: nb_nodes-1 fixed-size entries
+           { i32 parent, u8 descriptor[32], f32 weight, u8 is_leaf }
+
+The DBoW2 tree is *ragged* (clusters with < k points produce early
+leaves); our device transform wants a complete k-ary level-block layout
+(models/vocabulary.py).  The conversion flattens the tree level by
+level: every real node gets slot = parent_slot * k + sibling_rank;
+early leaves propagate their descriptor down the slot-0 chain (so the
+batched Hamming-argmin descent deterministically resolves to one slot
+per leaf — ties break to the lowest index); vacant sibling slots copy
+sibling 0 (equal distance, higher index -> never selected).  Word
+weights land in an idf array indexed by final-level slot.
+
+Everything is vectorized numpy — a 1.1M-node ORBvoc parses in one
+``np.frombuffer`` plus L passes.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.vocabulary import Vocabulary
+
+
+def load_orbvoc_binary(path: str) -> Vocabulary:
+    with open(path, "rb") as f:
+        raw = f.read()
+    header = np.frombuffer(raw[:24], dtype=np.dtype(
+        [("nb_nodes", "<u4"), ("size_node", "<u4"), ("k", "<i4"),
+         ("L", "<i4"), ("scoring", "<i4"), ("weighting", "<i4")]))[0]
+    k = int(header["k"])
+    L = int(header["L"])
+    size_node = int(header["size_node"])
+    desc_len = size_node - 9  # parent(4) + weight(4) + leaf(1)
+    if desc_len != 32:
+        raise ValueError(f"unsupported descriptor length {desc_len}")
+    body = raw[24:]
+    n_rec = len(body) // size_node
+    rec = np.frombuffer(body[:n_rec * size_node], dtype=np.dtype(
+        [("parent", "<i4"), ("desc", "u1", (32,)),
+         ("weight", "<f4"), ("leaf", "u1")]))
+
+    # node ids: records are nodes 1..n_rec (root = 0 implicit; its own
+    # parent is set to -1 so it never ranks as a sibling of its children)
+    parent = np.concatenate([[-1], rec["parent"].astype(np.int64)])
+    desc8 = np.zeros((n_rec + 1, 8), np.uint32)
+    desc8[1:] = rec["desc"].view("<u4").reshape(n_rec, 8)
+    weight = np.concatenate([[0.0], rec["weight"].astype(np.float64)])
+    is_leaf = np.concatenate([[False], rec["leaf"].astype(bool)])
+
+    # depth per node (parents always precede children in the file)
+    depth = np.zeros(n_rec + 1, np.int32)
+    nids = np.arange(1, n_rec + 1)
+    depth[nids] = -1
+    for d in range(L + 1):
+        mask = (depth[nids] == -1) & (depth[np.maximum(parent[nids], 0)] == d) \
+            & (parent[nids] >= 0)
+        depth[nids[mask]] = d + 1
+    if (depth < 0).any():
+        raise ValueError("orphan nodes in vocabulary file")
+
+    # sibling rank: children of one parent in nid order
+    order = np.lexsort((np.arange(n_rec + 1), parent))
+    ranked = np.zeros(n_rec + 1, np.int64)
+    p_sorted = parent[order]
+    first = np.concatenate([[True], p_sorted[1:] != p_sorted[:-1]])
+    grp_start = np.maximum.accumulate(np.where(first,
+                                               np.arange(n_rec + 1), 0))
+    ranked[order] = np.arange(n_rec + 1) - grp_start
+    ranked[0] = 0
+
+    # word ids in increasing nid order (loadFromBinaryFile assigns them
+    # as leaves are encountered)
+    word_id = np.full(n_rec + 1, -1, np.int64)
+    leaf_ids = np.where(is_leaf)[0]
+    word_id[leaf_ids] = np.arange(len(leaf_ids))
+
+    # slot per node, per level fill
+    slot = np.zeros(n_rec + 1, np.int64)
+    centers = [np.zeros((k ** (l + 1), 8), np.uint32) for l in range(L)]
+    filled = [np.zeros(k ** (l + 1), bool) for l in range(L)]
+    owner = [np.full(k ** (l + 1), -1, np.int64) for l in range(L)]
+    owner_w = [np.zeros(k ** (l + 1), np.float64) for l in range(L)]
+    for d in range(1, L + 1):
+        at = np.where(depth == d)[0]
+        if len(at) == 0:
+            continue
+        s = slot[parent[at]] * k + ranked[at]
+        if ranked[at].max() >= k:
+            raise ValueError("node with more than k children")
+        slot[at] = s
+        centers[d - 1][s] = desc8[at]
+        filled[d - 1][s] = True
+        lf = is_leaf[at]
+        owner[d - 1][s[lf]] = word_id[at[lf]]
+        owner_w[d - 1][s[lf]] = weight[at[lf]]
+
+    # top-down vacancy fill + early-leaf propagation
+    for l in range(1, L):
+        n_slots = k ** (l + 1)
+        s = np.arange(n_slots)
+        p = s // k
+        vac = ~filled[l]
+        parent_collapsed = owner[l - 1][p] >= 0
+        # descendants of early leaves: inherit descriptor + word
+        m = vac & parent_collapsed & (s % k == 0)
+        centers[l][m] = centers[l - 1][p[m]]
+        owner[l][m] = owner[l - 1][p[m]]
+        owner_w[l][m] = owner_w[l - 1][p[m]]
+        filled[l][m] = True
+        # remaining vacancies: copy sibling 0 (unreachable under argmin)
+        vac = ~filled[l]
+        sib0 = p * k
+        centers[l][vac] = centers[l][sib0[vac]]
+        owner[l][vac] = owner[l][sib0[vac]]
+        owner_w[l][vac] = owner_w[l][sib0[vac]]
+    # level-0 vacancies (root with < k children)
+    vac0 = ~filled[0]
+    centers[0][vac0] = centers[0][0]
+
+    idf = owner_w[L - 1].astype(np.float32)
+    voc = Vocabulary(k=k, levels=L, centers=centers, idf=idf,
+                     node_level=min(4, max(L - 2, 1)))
+    # expose the true word ids for parity checks
+    voc.word_of_slot = owner[L - 1]  # type: ignore[attr-defined]
+    return voc
