@@ -6,6 +6,10 @@ detection (src/KeyFrameDatabase.cc:105-259) and relocalization
 (:261-396): shared-word counting, 0.8*maxCommonWords pruning, L1-score
 threshold, accumulation over top-10 covisible groups, 0.75*bestAccScore
 final cut.
+
+The shared-word counting + L1 scoring inner loop runs in the native C++
+runtime (native/slamcore.cc kfdb_*) with a numpy fallback; the
+covisibility-group accumulation stays in Python (tiny candidate sets).
 """
 from __future__ import annotations
 
@@ -13,6 +17,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from .. import native
 from .mapstore import MapStore
 from .vocabulary import Vocabulary
 
@@ -20,35 +25,47 @@ from .vocabulary import Vocabulary
 class KeyFrameDatabase:
     def __init__(self, voc: Vocabulary):
         self.voc = voc
-        self.inverted: Dict[int, List[int]] = {}
         self.bow: Dict[int, dict] = {}  # kid -> BoW vector
+        self._db = native.NativeKfDatabase()
 
     def add(self, kid: int, bow_vec: dict):
         self.bow[kid] = bow_vec
-        for w in bow_vec:
-            self.inverted.setdefault(w, []).append(kid)
+        self._db.add(kid, bow_vec)
 
     def erase(self, kid: int):
-        vec = self.bow.pop(kid, None)
-        if vec is None:
-            return
-        for w in vec:
-            lst = self.inverted.get(w)
-            if lst and kid in lst:
-                lst.remove(kid)
+        if self.bow.pop(kid, None) is not None:
+            self._db.erase(kid)
 
     def clear(self):
-        self.inverted.clear()
         self.bow.clear()
+        self._db = native.NativeKfDatabase()
 
     # ------------------------------------------------------------------
-    def _shared_word_counts(self, bow_vec: dict, exclude: set) -> Dict[int, int]:
-        counts: Dict[int, int] = {}
-        for w in bow_vec:
-            for kid in self.inverted.get(w, ()):
-                if kid not in exclude:
-                    counts[kid] = counts.get(kid, 0) + 1
-        return counts
+    def _accumulate_groups(self, store: MapStore, scored: Dict[int, float],
+                           floor: float) -> List[int]:
+        """Covisibility-group accumulation shared by both detectors
+        (src/KeyFrameDatabase.cc:171-252, 330-390)."""
+        acc: Dict[int, tuple] = {}
+        best_acc = floor
+        for cand, s in scored.items():
+            group = store.get_best_covisibles(cand, 10)
+            acc_score = s
+            best_kid, best_s = cand, s
+            for g in group:
+                if g in scored:
+                    acc_score += scored[g]
+                    if scored[g] > best_s:
+                        best_kid, best_s = g, scored[g]
+            acc[cand] = (acc_score, best_kid)
+            best_acc = max(best_acc, acc_score)
+        min_acc = 0.75 * best_acc
+        out = []
+        seen = set()
+        for cand, (acc_score, best_kid) in acc.items():
+            if acc_score > min_acc and best_kid not in seen:
+                seen.add(best_kid)
+                out.append(best_kid)
+        return out
 
     def detect_loop_candidates(self, store: MapStore, kid: int,
                                min_score: float) -> List[int]:
@@ -57,74 +74,28 @@ class KeyFrameDatabase:
         query = self.bow.get(kid)
         if query is None:
             return []
-        counts = self._shared_word_counts(query, exclude=connected)
-        if not counts:
+        kids, counts, scores = self._db.query(query, exclude=connected)
+        if len(kids) == 0:
             return []
-        max_common = max(counts.values())
-        min_common = 0.8 * max_common
-        # score candidates with enough shared words
-        scored = {}
-        for cand, c in counts.items():
-            if c > min_common:
-                s = Vocabulary.score_l1(query, self.bow[cand])
-                if s >= min_score:
-                    scored[cand] = s
+        min_common = 0.8 * counts.max()
+        scored = {int(k): float(s)
+                  for k, c, s in zip(kids, counts, scores)
+                  if c > min_common and s >= min_score}
         if not scored:
             return []
-        # accumulate over covisibility groups (top-10 covisibles)
-        acc: Dict[int, tuple] = {}
-        best_acc = min_score
-        for cand, s in scored.items():
-            group = store.get_best_covisibles(cand, 10)
-            acc_score = s
-            best_kid, best_s = cand, s
-            for g in group:
-                if g in scored:
-                    acc_score += scored[g]
-                    if scored[g] > best_s:
-                        best_kid, best_s = g, scored[g]
-            acc[cand] = (acc_score, best_kid)
-            best_acc = max(best_acc, acc_score)
-        min_acc = 0.75 * best_acc
-        out = []
-        seen = set()
-        for cand, (acc_score, best_kid) in acc.items():
-            if acc_score > min_acc and best_kid not in seen:
-                seen.add(best_kid)
-                out.append(best_kid)
-        return out
+        return self._accumulate_groups(store, scored, floor=min_score)
 
     def detect_relocalization_candidates(self, store: MapStore,
                                          bow_vec: dict) -> List[int]:
         """src/KeyFrameDatabase.cc:261-396 — same scheme, no covisible
         exclusion, no absolute minimum score."""
-        counts = self._shared_word_counts(bow_vec, exclude=set())
-        if not counts:
+        kids, counts, scores = self._db.query(bow_vec)
+        if len(kids) == 0:
             return []
-        max_common = max(counts.values())
-        min_common = 0.8 * max_common
-        scored = {cand: Vocabulary.score_l1(bow_vec, self.bow[cand])
-                  for cand, c in counts.items() if c > min_common}
+        min_common = 0.8 * counts.max()
+        scored = {int(k): float(s)
+                  for k, c, s in zip(kids, counts, scores)
+                  if c > min_common}
         if not scored:
             return []
-        acc: Dict[int, tuple] = {}
-        best_acc = 0.0
-        for cand, s in scored.items():
-            group = store.get_best_covisibles(cand, 10)
-            acc_score = s
-            best_kid, best_s = cand, s
-            for g in group:
-                if g in scored:
-                    acc_score += scored[g]
-                    if scored[g] > best_s:
-                        best_kid, best_s = g, scored[g]
-            acc[cand] = (acc_score, best_kid)
-            best_acc = max(best_acc, acc_score)
-        min_acc = 0.75 * best_acc
-        out = []
-        seen = set()
-        for cand, (acc_score, best_kid) in acc.items():
-            if acc_score > min_acc and best_kid not in seen:
-                seen.add(best_kid)
-                out.append(best_kid)
-        return out
+        return self._accumulate_groups(store, scored, floor=0.0)

@@ -135,4 +135,7 @@ class TestKeyFrameDatabase:
         vec = voc.bow_vector(d, np.ones(100, bool))
         db.add(0, vec)
         db.erase(0)
-        assert all(0 not in lst for lst in db.inverted.values())
+        # the erased keyframe must no longer surface in any query
+        kids, _, _ = db._db.query(vec)
+        assert 0 not in kids.tolist()
+        assert 0 not in db.bow
