@@ -42,17 +42,24 @@ _jac_j = jax.vmap(lambda Si, Sj, Sji: jax.jacfwd(
     lambda xj: _edge_residual(jnp.zeros(7), xj, Si, Sj, Sji))(jnp.zeros(7)))
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
-def optimize_pose_graph(
+def _identity_psum(x):
+    return x
+
+
+def optimize_pose_graph_core(
     sims0: jnp.ndarray,      # (K, 8) initial Sim3 (world -> kf)
-    edge_i: jnp.ndarray,     # (E,) int32
+    edge_i: jnp.ndarray,     # (E,) int32 — may be a shard of the edges
     edge_j: jnp.ndarray,     # (E,) int32
     edge_meas: jnp.ndarray,  # (E, 8) measurement Sji
     edge_weight: jnp.ndarray,  # (E,) float — 0 masks a padded edge
     fixed: jnp.ndarray,      # (K,) bool — e.g. the loop keyframe
     iters: int = 20,
     cg_iters: int = 30,
+    psum=_identity_psum,
 ) -> PoseGraphResult:
+    """LM over the Sim3 pose graph.  All edge-segment reductions are
+    closed with ``psum`` so the edge list can be sharded across a device
+    mesh (parallel/dist_pose_graph.py); vertex state is replicated."""
     K = sims0.shape[0]
     free = ~fixed
 
@@ -60,7 +67,7 @@ def optimize_pose_graph(
         Si = sims[edge_i]
         Sj = sims[edge_j]
         r = _res0(Si, Sj, edge_meas)
-        return jnp.sum(edge_weight * jnp.sum(r * r, -1))
+        return psum(jnp.sum(edge_weight * jnp.sum(r * r, -1)))
 
     def body(_, st):
         sims, lam = st
@@ -71,16 +78,18 @@ def optimize_pose_graph(
         Jj = _jac_j(Si, Sj, edge_meas)
         w = edge_weight[:, None, None]
 
-        # gradient: g_k = sum_e J^T r
+        # gradient: g_k = sum_e J^T r (psum closes sharded edges)
         g = jnp.zeros((K, 7))
         g = g.at[edge_i].add(jnp.einsum("eab,ea->eb", Ji * w, r))
         g = g.at[edge_j].add(jnp.einsum("eab,ea->eb", Jj * w, r))
+        g = psum(g)
         g = jnp.where(free[:, None], g, 0.0)
 
         # block-diagonal preconditioner + damping
         diag = jnp.zeros((K, 7, 7))
         diag = diag.at[edge_i].add(jnp.einsum("eab,eac->ebc", Ji * w, Ji))
         diag = diag.at[edge_j].add(jnp.einsum("eab,eac->ebc", Jj * w, Jj))
+        diag = psum(diag)
         damp = lam * jnp.eye(7) * jnp.maximum(
             jnp.trace(diag, axis1=-2, axis2=-1)[:, None, None] / 7.0, 1e-6)
         diag_d = diag + damp + 1e-8 * jnp.eye(7)
@@ -95,6 +104,7 @@ def optimize_pose_graph(
             out = jnp.zeros((K, 7))
             out = out.at[edge_i].add(jnp.einsum("eab,ea->eb", Ji * w, ri))
             out = out.at[edge_j].add(jnp.einsum("eab,ea->eb", Jj * w, ri))
+            out = psum(out)
             out = out + (damp @ xm[..., None])[..., 0]
             return jnp.where(free[:, None], out, x)
 
@@ -126,3 +136,20 @@ def optimize_pose_graph(
     sims, _ = jax.lax.fori_loop(0, iters, body,
                                 (sims0, jnp.float32(1e-3)))
     return PoseGraphResult(sims=sims, final_cost=cost(sims))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def optimize_pose_graph(
+    sims0: jnp.ndarray,
+    edge_i: jnp.ndarray,
+    edge_j: jnp.ndarray,
+    edge_meas: jnp.ndarray,
+    edge_weight: jnp.ndarray,
+    fixed: jnp.ndarray,
+    iters: int = 20,
+    cg_iters: int = 30,
+) -> PoseGraphResult:
+    """Single-device entry point (see optimize_pose_graph_core)."""
+    return optimize_pose_graph_core(
+        sims0, edge_i, edge_j, edge_meas, edge_weight, fixed,
+        iters=iters, cg_iters=cg_iters)

@@ -8,3 +8,4 @@ the segment sums over keyframes/points, and the Schur-reduced PCG runs
 replicated (its matvecs are obs-parallel too, riding ICI collectives).
 """
 from .dist_ba import distributed_bundle_adjust, make_mesh  # noqa: F401
+from .dist_pose_graph import distributed_pose_graph  # noqa: F401

@@ -177,12 +177,12 @@ class Tracker:
             return
 
         # both poses must be known: the prior mode supplies them per
-        # frame; the estimated mode requires priors for the first two
-        # keyframes only (bootstrap; H/F-model RANSAC init lands with
-        # the no-prior initializer).
+        # frame and bootstrap hints may supply them in estimated mode;
+        # otherwise run the upstream H/F-model RANSAC initializer.
         T1, T2 = f1.Tcw, f2.Tcw
         if pose_prior is None and np.allclose(T1, T2):
-            return  # degenerate / no usable geometry yet
+            self._initialize_two_view(f1, f2, valid, idx)
+            return
 
         K = np.asarray(self.cfg.cam.K)
         rows = np.where(valid)[0]
@@ -210,8 +210,45 @@ class Tracker:
         self._create_initial_map(f1, f2, rows[good], cols[good],
                                  np.asarray(X)[good])
 
-    def _create_initial_map(self, f1: Frame, f2: Frame, rows, cols, X):
-        """CreateInitialMap (src/Tracking.cc:467-573)."""
+    def _initialize_two_view(self, f1: Frame, f2: Frame,
+                             valid: np.ndarray, idx: np.ndarray):
+        """Upstream monocular initialization: H/F-model RANSAC relative
+        pose + triangulation + median-depth gauge (the capability the
+        fork deleted; geom/twoview.py)."""
+        from ..geom import twoview
+        rows = np.where(valid)[0]
+        cols = idx[rows]
+        nb = pad_bucket(len(rows))
+        padn = nb - len(rows)
+        uv1 = np.pad(f1.xy[rows], ((0, padn), (0, 0)))
+        uv2 = np.pad(f2.xy[cols], ((0, padn), (0, 0)))
+        isig = np.pad(self.factory.inv_sigma2[f2.octave[cols]], (0, padn),
+                      constant_values=1.0)
+        vmask = np.zeros(nb, bool)
+        vmask[:len(rows)] = True
+        samples = np.random.default_rng(f2.frame_id).integers(
+            0, max(len(rows), 1), (200, 8)).astype(np.int32)
+        res = twoview.initialize_two_view(
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(vmask),
+            jnp.asarray(isig), jnp.asarray(np.asarray(self.cfg.cam.K)),
+            jnp.asarray(samples),
+            min_triangulated=self.cfg.init_min_triangulated)
+        if not bool(res.ok):
+            return  # keep the initial frame, try with the next image
+        good = np.asarray(res.good)[:len(rows)]
+        X = np.asarray(res.points)[:len(rows)]
+        f1.Tcw = np.eye(4, dtype=np.float32)
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = np.asarray(res.R)
+        T2[:3, 3] = np.asarray(res.t)
+        f2.Tcw = T2
+        self._create_initial_map(f1, f2, rows[good], cols[good], X[good],
+                                 estimated=True)
+
+    def _create_initial_map(self, f1: Frame, f2: Frame, rows, cols, X,
+                            estimated: bool = False):
+        """CreateInitialMap (src/Tracking.cc:467-573; upstream
+        CreateInitialMapMonocular when ``estimated``)."""
         store = self.store
         k1 = store.add_keyframe(f1)
         k2 = store.add_keyframe(f2)
@@ -226,23 +263,88 @@ class Tracker:
         store.update_connections(k1)
         store.update_connections(k2)
 
-        # structure-only BA with both poses fixed == the reference's
-        # GlobalBundleAdjustemnt(20 it, fix both init KFs)
-        # (src/Tracking.cc:536, include/Optimizer.h:80-82)
-        from .local_mapping import run_structure_ba
-        run_structure_ba(store, [k1, k2], self.cfg, iters=20)
+        if estimated:
+            # upstream CreateInitialMapMonocular: full BA fixing only
+            # KF0, then median-depth gauge normalization
+            self._run_init_full_ba(k1, k2)
+        else:
+            # structure-only BA with both poses fixed == the reference's
+            # GlobalBundleAdjustemnt(20 it, fix both init KFs)
+            # (src/Tracking.cc:536, include/Optimizer.h:80-82)
+            from .local_mapping import run_structure_ba
+            run_structure_ba(store, [k1, k2], self.cfg, iters=20)
 
         tracked = sum(1 for p in f2.mp_ids if p >= 0)
         if tracked < self.cfg.init_min_tracked_after_ba:
             if self.on_reset:
                 self.on_reset()
             return
+
+        if estimated:
+            med = store.scene_median_depth(k1)
+            if med <= 0:
+                if self.on_reset:
+                    self.on_reset()
+                return
+            inv = 1.0 / med
+            for pid in range(store.n_points()):
+                if store.mp_valid[pid]:
+                    store.mp_pos[pid] = (store.mp_pos[pid] * inv).astype(np.float32)
+            T2 = store.kfs[k2].Tcw.copy()
+            T2[:3, 3] *= inv
+            store.set_kf_pose(k2, T2)
+            f2.Tcw = T2.copy()
+            for pid in range(store.n_points()):
+                if store.mp_valid[pid]:
+                    store.update_normal_and_depth(pid)
         self.ref_kf = k2
         self.last_kf_frame_id = f2.frame_id
         self.state = TrackState.OK
         if self.on_new_keyframe:
             self.on_new_keyframe(k1)
             self.on_new_keyframe(k2)
+
+    def _run_init_full_ba(self, k1: int, k2: int, iters: int = 20):
+        """Full two-keyframe BA fixing only KF0 (upstream
+        GlobalBundleAdjustemnt at init, Optimizer.h default gauge)."""
+        from ..optim import ba as ba_mod
+        from .local_mapping import gather_ba_problem
+        store = self.store
+        pids, packed = gather_ba_problem(store, [k1, k2],
+                                         self.factory.inv_sigma2)
+        if packed is None or len(pids) == 0:
+            return
+        obs_kf, obs_pt, obs_uv, obs_sig, meta = packed
+        poses = np.stack([store.kfs[k].Tcw for k in (k1, k2)])
+        points0 = np.stack([store.mp_pos[p] for p in pids])
+        P = pad_bucket(len(pids))
+        O = pad_bucket(len(obs_kf))
+        fx, fy, cx, cy = self._cam_tuple
+        eye = np.broadcast_to(np.eye(4, dtype=np.float32), (6, 4, 4))
+        res = ba_mod.bundle_adjust(
+            jnp.asarray(np.concatenate([poses, eye])),
+            jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
+            jnp.asarray(np.pad(obs_kf, (0, O - len(obs_kf)))),
+            jnp.asarray(np.pad(obs_pt, (0, O - len(obs_kf)))),
+            jnp.asarray(np.pad(obs_uv, ((0, O - len(obs_kf)), (0, 0)))),
+            jnp.asarray(np.pad(obs_sig, (0, O - len(obs_kf)))),
+            jnp.asarray(np.pad(np.ones(len(obs_kf), bool),
+                               (0, O - len(obs_kf)))),
+            jnp.asarray(np.pad(np.array([True, False]), (0, 6),
+                               constant_values=True)),
+            fx, fy, cx, cy, iters=iters, cg_iters=20)
+        new_poses = np.asarray(res.cam_Tcw)
+        new_pts = np.asarray(res.points)
+        store.set_kf_pose(k2, new_poses[1])
+        store.kfs[k2].frame.Tcw = new_poses[1].copy()
+        for j, p in enumerate(pids):
+            store.mp_pos[p] = new_pts[j]
+        inl = np.asarray(res.obs_inlier)[:len(obs_kf)]
+        for o in np.where(~inl)[0]:
+            kid, fi = meta[o]
+            pid = pids[obs_pt[o]]
+            if store.mp_valid[pid]:
+                store.erase_observation(pid, kid)
 
     # ------------------------------------------------------------------
     # frame-to-frame tracking

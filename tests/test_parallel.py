@@ -61,3 +61,68 @@ class TestDistributedBA:
             FX, FY, CX, CY, iters=3, cg_iters=10)
         assert res.obs_inlier.shape == (n,)
         assert np.isfinite(float(res.final_cost))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device")
+class TestDistributedPoseGraph:
+    def test_matches_single_device(self):
+        """Edge-sharded essential-graph solve == single-device solve."""
+        from scipy.spatial.transform import Rotation
+        from orb_slam2_tpu.geom import sim3
+        from orb_slam2_tpu.optim import pose_graph
+        from orb_slam2_tpu.parallel import distributed_pose_graph
+
+        rng = np.random.default_rng(2)
+        K = 30
+        gt = []
+        for i in range(K):
+            th = 2 * np.pi * i / K
+            R = Rotation.from_euler("z", th).as_matrix().astype(np.float32)
+            c = np.array([np.cos(th) * 5, np.sin(th) * 5, 0], np.float32)
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R.T
+            T[:3, 3] = -R.T @ c
+            gt.append(sim3.from_se3(jnp.asarray(T)))
+        gt = jnp.stack(gt)
+
+        edges_i, edges_j, meas = [], [], []
+        noisy = [gt[0]]
+        for i in range(K - 1):
+            Sji_true = sim3.compose(gt[i + 1], sim3.inv(gt[i]))
+            xi = np.zeros(7, np.float32)
+            xi[:6] = rng.normal(0, 0.005, 6)
+            xi[6] = np.log(1.025)
+            Sji_noisy = sim3.compose(sim3.exp(jnp.asarray(xi)), Sji_true)
+            edges_i.append(i)
+            edges_j.append(i + 1)
+            meas.append(Sji_noisy)
+            noisy.append(sim3.compose(Sji_noisy, noisy[-1]))
+        edges_i.append(K - 1)
+        edges_j.append(0)
+        meas.append(sim3.compose(gt[0], sim3.inv(gt[K - 1])))
+
+        sims0 = np.asarray(jnp.stack(noisy))
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        ei = np.array(edges_i, np.int32)
+        ej = np.array(edges_j, np.int32)
+        em = np.asarray(jnp.stack(meas))
+        ew = np.ones(len(meas), np.float32)
+
+        mesh = make_mesh()
+        dist = distributed_pose_graph(mesh, sims0, ei, ej, em, ew, fixed,
+                                      iters=30, cg_iters=40)
+        single = pose_graph.optimize_pose_graph(
+            jnp.asarray(sims0), jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(em), jnp.asarray(ew), jnp.asarray(fixed),
+            iters=30, cg_iters=40)
+        np.testing.assert_allclose(np.asarray(dist.sims),
+                                   np.asarray(single.sims), atol=2e-4)
+        np.testing.assert_allclose(float(dist.final_cost),
+                                   float(single.final_cost), rtol=1e-3,
+                                   atol=1e-5)
+        # and it genuinely corrected the drift
+        from orb_slam2_tpu.geom import sim3 as s3
+        err = np.asarray(s3.log(s3.compose(
+            dist.sims[K - 1], s3.inv(gt[K - 1]))))
+        assert np.abs(err).max() < 0.15

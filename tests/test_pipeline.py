@@ -60,6 +60,24 @@ class TestPosePriorMode:
 
 
 class TestEstimatedMode:
+    def test_no_prior_full_upstream(self, world):
+        """NO pose information at all: H/F-model RANSAC bootstrap +
+        motion-model tracking, monocular up-to-scale ATE."""
+        poses = synth.aerial_trajectory(30, speed=0.3)
+        sys = System(make_config(pose_prior=False), enable_loop_closing=False)
+        est, gt = [], []
+        for i, T in enumerate(poses):
+            img = synth.render(world, CAM, T)
+            sys.track_monocular(img, i * 0.1)  # no hint
+            if sys.state == TrackState.OK:
+                est.append(sys.trajectory[-1][2])
+                gt.append(T)
+        assert len(est) > 20, f"tracked {len(est)}/30"
+        est_c = np.stack([-P[:3, :3].T @ P[:3, 3] for P in est])
+        gt_c = np.stack([-P[:3, :3].T @ P[:3, 3] for P in gt])
+        ate = synth.ate_rmse(est_c, gt_c, align="sim3")
+        assert ate < 0.10, f"ATE {ate:.4f}"
+
     def test_ate_small(self, world):
         poses = synth.aerial_trajectory(30, speed=0.3)
         sys = System(make_config(pose_prior=False), enable_loop_closing=False)
