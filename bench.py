@@ -16,10 +16,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -50,12 +56,17 @@ def main():
 
     sys_ = System(cfg, enable_loop_closing=False)
     for i in range(n_warm):
+        t0 = time.perf_counter()
         sys_.track_monocular_with_pose(frames[i], i * 0.1, poses[i])
+        log(f"warm frame {i}: {time.perf_counter() - t0:.1f}s "
+            f"state={sys_.state.name}")
 
     t0 = time.perf_counter()
     n_ok = 0
     for i in range(n_warm, n_warm + n_meas):
+        t1 = time.perf_counter()
         f = sys_.track_monocular_with_pose(frames[i], i * 0.1, poses[i])
+        log(f"frame {i}: {time.perf_counter() - t1 :.2f}s")
         if sys_.state == TrackState.OK:
             n_ok += 1
     jax.effects_barrier()

@@ -51,21 +51,67 @@ class KeyFrame:
     ba_global_for_kf: int = -1
 
 
+class _GrowArray:
+    """Amortized-growth numpy SoA column: list-like append + ndarray
+    fancy indexing over the live prefix."""
+
+    def __init__(self, width, dtype, fill=0):
+        shape = (64,) if width is None else (64, width)
+        self._buf = np.full(shape, fill, dtype)
+        self._n = 0
+        self._fill = fill
+
+    def append(self, value):
+        if self._n == len(self._buf):
+            extra = np.full_like(self._buf, self._fill)
+            self._buf = np.concatenate([self._buf, extra])
+        self._buf[self._n] = value
+        self._n += 1
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._buf[:self._n]
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, idx):
+        return self.data[idx]
+
+    def __setitem__(self, idx, value):
+        self.data[idx] = value
+
+    def __iter__(self):
+        return iter(self.data)
+
+    def __array__(self, dtype=None, copy=None):
+        d = self.data
+        return d.astype(dtype) if dtype is not None else d
+
+    @classmethod
+    def from_data(cls, data: np.ndarray, fill=0) -> "_GrowArray":
+        out = cls(None if data.ndim == 1 else data.shape[1],
+                  data.dtype, fill=fill)
+        out._buf = np.array(data)
+        out._n = len(data)
+        return out
+
+
 class MapStore:
     def __init__(self):
-        # --- map points (SoA, grown by append) ---
-        self.mp_pos: List[np.ndarray] = []        # (3,)
-        self.mp_desc: List[np.ndarray] = []       # (8,) uint32
-        self.mp_normal: List[np.ndarray] = []     # (3,)
-        self.mp_min_dist: List[float] = []
-        self.mp_max_dist: List[float] = []
-        self.mp_valid: List[bool] = []
+        # --- map points (numpy SoA with amortized growth) ---
+        self.mp_pos = _GrowArray(3, np.float32)
+        self.mp_desc = _GrowArray(8, np.uint32)
+        self.mp_normal = _GrowArray(3, np.float32)
+        self.mp_min_dist = _GrowArray(None, np.float32)
+        self.mp_max_dist = _GrowArray(None, np.float32)
+        self.mp_valid = _GrowArray(None, bool, fill=False)
         self.mp_obs: List[Dict[int, int]] = []    # pid -> {kid: feat_idx}
-        self.mp_first_kf: List[int] = []
-        self.mp_n_visible: List[int] = []
-        self.mp_n_found: List[int] = []
-        self.mp_replaced_by: List[int] = []       # -1 or target pid
-        self.mp_first_frame: List[int] = []
+        self.mp_first_kf = _GrowArray(None, np.int64)
+        self.mp_n_visible = _GrowArray(None, np.int64)
+        self.mp_n_found = _GrowArray(None, np.int64)
+        self.mp_replaced_by = _GrowArray(None, np.int64, fill=-1)
+        self.mp_first_frame = _GrowArray(None, np.int64)
 
         # --- keyframes ---
         self.kfs: List[KeyFrame] = []
@@ -336,16 +382,24 @@ class MapStore:
     # bulk views for device stages
     # ------------------------------------------------------------------
     def points_soa(self, pids: List[int]):
-        """Compact SoA arrays for a set of point ids."""
+        """Compact SoA arrays for a set of point ids (one fancy-index
+        gather per column — no Python loop)."""
         pids = np.asarray(pids, np.int32)
+        if len(pids) == 0:
+            return dict(pids=pids, pos=np.zeros((0, 3), np.float32),
+                        desc=np.zeros((0, 8), np.uint32),
+                        normal=np.zeros((0, 3), np.float32),
+                        min_dist=np.zeros(0, np.float32),
+                        max_dist=np.zeros(0, np.float32),
+                        valid=np.zeros(0, bool))
         return dict(
             pids=pids,
-            pos=np.stack([self.mp_pos[p] for p in pids]) if len(pids) else np.zeros((0, 3), np.float32),
-            desc=np.stack([self.mp_desc[p] for p in pids]) if len(pids) else np.zeros((0, 8), np.uint32),
-            normal=np.stack([self.mp_normal[p] for p in pids]) if len(pids) else np.zeros((0, 3), np.float32),
-            min_dist=np.asarray([self.mp_min_dist[p] for p in pids], np.float32),
-            max_dist=np.asarray([self.mp_max_dist[p] for p in pids], np.float32),
-            valid=np.asarray([self.mp_valid[p] for p in pids], bool),
+            pos=self.mp_pos[pids],
+            desc=self.mp_desc[pids],
+            normal=self.mp_normal[pids],
+            min_dist=np.asarray(self.mp_min_dist[pids], np.float32),
+            max_dist=np.asarray(self.mp_max_dist[pids], np.float32),
+            valid=np.asarray(self.mp_valid[pids], bool),
         )
 
     def scene_median_depth(self, kid: int) -> float:

@@ -75,7 +75,7 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
     if packed is None or len(pids) == 0:
         return
     obs_kf, obs_pt, obs_uv, obs_sig, meta = packed
-    points0 = np.stack([store.mp_pos[p] for p in pids])
+    points0 = np.asarray(store.mp_pos[np.asarray(pids, np.int64)])
     poses = np.stack([store.kfs[k].Tcw for k in kf_ids])
 
     O = pad_bucket(len(obs_kf))
@@ -162,7 +162,7 @@ def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
 
     pids = list(pid_set.keys())
     poses = np.stack([store.kfs[k].Tcw for k in all_kfs])
-    points0 = np.stack([store.mp_pos[p] for p in pids])
+    points0 = np.asarray(store.mp_pos[np.asarray(pids, np.int64)])
 
     K = pad_bucket(len(all_kfs), 8)
     P = pad_bucket(len(pids))

@@ -146,7 +146,7 @@ class LoopCloser:
         f = store.kfs[kid].frame
         if len(feat_idx) == 0:
             return np.zeros((0, 3), np.float32)
-        pos = np.stack([store.mp_pos[f.mp_ids[i]] for i in feat_idx])
+        pos = np.asarray(store.mp_pos[f.mp_ids[feat_idx]])
         T = store.kfs[kid].Tcw
         return (pos @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
 
@@ -373,7 +373,7 @@ class LoopCloser:
             pids = [p for p in store.kfs[gk].frame.mp_ids
                     if p >= 0 and p not in moved and store.mp_valid[p]]
             if pids:
-                pos = np.stack([store.mp_pos[p] for p in pids])
+                pos = np.asarray(store.mp_pos[np.asarray(pids, np.int64)])
                 new = np.asarray(sim3_mod.apply(fix[None],
                                                 jnp.asarray(pos)[None])[0])
                 for p, x in zip(pids, new):
@@ -614,7 +614,7 @@ class LoopCloser:
             return
         obs_kf, obs_pt, obs_uv, obs_sig, meta = packed
         poses = np.stack([store.kfs[k].Tcw for k in kids])
-        points0 = np.stack([store.mp_pos[p] for p in pids])
+        points0 = np.asarray(store.mp_pos[np.asarray(pids, np.int64)])
         fixed = np.zeros(len(kids), bool)
         fixed[0] = True
 

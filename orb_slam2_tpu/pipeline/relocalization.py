@@ -97,7 +97,7 @@ class Relocalizer:
                 continue
             fk = store.kfs[kid].frame
             pids = np.array([fk.mp_ids[i] for i in feat_kf], np.int32)
-            pts_w = np.stack([store.mp_pos[p] for p in pids])
+            pts_w = np.asarray(store.mp_pos[pids.astype(np.int64)])
             uv = frame.xy[feat_fr]
             isig = self.inv_sigma2[frame.octave[feat_fr]]
 
@@ -154,7 +154,7 @@ class Relocalizer:
         if len(bound) < 3:
             return 0
         store = self.store
-        pos = np.stack([store.mp_pos[frame.mp_ids[i]] for i in bound])
+        pos = np.asarray(store.mp_pos[frame.mp_ids[bound]])
         n = pad_bucket(len(bound))
         pad = n - len(bound)
         fx, fy, cx, cy = self._cam_tuple
@@ -185,7 +185,7 @@ class Relocalizer:
                         and p not in already], np.int32)
         if len(ids) == 0:
             return
-        pos = np.stack([store.mp_pos[fk.mp_ids[i]] for i in ids])
+        pos = np.asarray(store.mp_pos[fk.mp_ids[ids]])
         fx, fy, cx, cy = self._cam_tuple
         pc = pos @ frame.Tcw[:3, :3].T + frame.Tcw[:3, 3]
         z = pc[:, 2]

@@ -170,7 +170,7 @@ class System:
         pids, feat = self.tracked_points()
         if frame is None or len(pids) == 0:
             return False
-        pos_w = np.stack([self.store.mp_pos[p] for p in pids])
+        pos_w = np.asarray(self.store.mp_pos[pids.astype(np.int64)])
         Tin = frame.Tcw
         pts_cam = pos_w @ Tin[:3, :3].T + Tin[:3, 3]
         uv = frame.xy_raw[feat]
@@ -195,3 +195,50 @@ class System:
     def set_real_transform(self, T: np.ndarray):
         """System::SetRealTransform (include/System.h:171-173)."""
         self.real_transform = np.asarray(T, np.float32)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (capability the reference lacks: LoadMap is
+    # commented out at include/System.h:92)
+    # ------------------------------------------------------------------
+    def save_map(self, path: str):
+        """Serialize the full map (points, keyframes, graphs) to npz."""
+        from ..models.serialize import save_map
+        save_map(self.store, path)
+
+    def load_map(self, path: str):
+        """Load a serialized map and resume in LOST state — the next
+        frame relocalizes against it."""
+        from ..models.serialize import load_map
+        from .place_recognition import PlaceRecognition
+        self.store = load_map(path)
+        self.store.set_scale_info(self.cfg.orb.scale_factor,
+                                  self.cfg.orb.n_levels)
+        self.tracker.store = self.store
+        self.mapper.store = self.store
+        self.mapper.recent_points = []
+        self.place_rec = PlaceRecognition(self.store,
+                                          vocab=self.place_rec.vocab)
+        self.store.on_kf_erased = self.place_rec.erase_keyframe
+        for kid in self.store.valid_kf_ids():
+            self.place_rec.add_keyframe(kid)
+        self.relocalizer.store = self.store
+        self.relocalizer.pr = self.place_rec
+        if self.loop_closer is not None:
+            self.loop_closer.store = self.store
+            self.loop_closer.pr = self.place_rec
+        self.tracker.state = TrackState.LOST
+        self.tracker.last_frame = None
+        self.tracker.velocity = None
+        valid = self.store.valid_kf_ids()
+        self.tracker.ref_kf = valid[-1] if valid else -1
+
+    # ------------------------------------------------------------------
+    # localization-only mode (upstream ActivateLocalizationMode; removed
+    # by the fork, restored here)
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """Track against the existing map without extending it."""
+        self.tracker.mapping_enabled = False
+
+    def deactivate_localization_mode(self):
+        self.tracker.mapping_enabled = True

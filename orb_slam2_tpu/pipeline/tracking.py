@@ -40,10 +40,15 @@ class TrackState(enum.Enum):
 
 
 def pad_bucket(n: int, minimum: int = 256) -> int:
-    """Round up to a power-of-two bucket to bound jit recompiles."""
+    """Round up to a power-of-4 bucket to bound jit recompiles.
+
+    Growth factor 4 (not 2) keeps the number of DISTINCT compiled shapes
+    per stage tiny — on TPU the padded flops are cheap while each extra
+    XLA compile costs seconds-to-minutes, especially through a remote
+    compile relay."""
     m = minimum
     while m < n:
-        m *= 2
+        m *= 4
     return m
 
 
@@ -78,6 +83,7 @@ class Tracker:
 
         self.init_frame: Optional[Frame] = None
         self.last_frame: Optional[Frame] = None
+        self.mapping_enabled: bool = True  # localization-only when False
         self.ref_kf: int = -1
         self.velocity: Optional[np.ndarray] = None  # Tcw_cur @ inv(Tcw_last)
         self.last_kf_frame_id: int = 0
@@ -134,7 +140,7 @@ class Tracker:
             self.state = TrackState.OK
             if not self.cfg.pose_prior and self.last_frame is not None:
                 self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
-            if self._need_new_keyframe(frame):
+            if self.mapping_enabled and self._need_new_keyframe(frame):
                 self._create_new_keyframe(frame)
         else:
             self.state = TrackState.LOST
@@ -316,7 +322,7 @@ class Tracker:
             return
         obs_kf, obs_pt, obs_uv, obs_sig, meta = packed
         poses = np.stack([store.kfs[k].Tcw for k in (k1, k2)])
-        points0 = np.stack([store.mp_pos[p] for p in pids])
+        points0 = np.asarray(store.mp_pos[np.asarray(pids, np.int64)])
         P = pad_bucket(len(pids))
         O = pad_bucket(len(obs_kf))
         fx, fy, cx, cy = self._cam_tuple
@@ -364,9 +370,10 @@ class Tracker:
     def _gather_last_frame_mps(self, last: Frame):
         has = (last.mp_ids >= 0) & ~last.mp_outlier
         ids = np.where(has)[0]
-        ids = np.array([i for i in ids
-                        if self.store.mp_valid[last.mp_ids[i]]], np.int32)
-        return ids
+        if len(ids) == 0:
+            return ids.astype(np.int32)
+        live = np.asarray(self.store.mp_valid[last.mp_ids[ids]], bool)
+        return ids[live].astype(np.int32)
 
     def _match_against_last(self, frame: Frame, Tcw_pred: np.ndarray,
                             th: float) -> int:
@@ -376,7 +383,7 @@ class Tracker:
         ids = self._gather_last_frame_mps(last)
         if len(ids) == 0:
             return 0
-        pos = np.stack([self.store.mp_pos[last.mp_ids[i]] for i in ids])
+        pos = np.asarray(self.store.mp_pos[last.mp_ids[ids]])
         desc = last.desc[ids]
         oct_ = last.octave[ids]
         ang = last.angle[ids]
@@ -406,13 +413,12 @@ class Tracker:
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
             jnp.asarray(frame.angle),
             jnp.asarray(self.scale_factors), th=th)
-        rvalid = np.asarray(res.valid)
-        ridx = np.asarray(res.idx)
-        count = 0
-        for i in np.where(rvalid[:len(ids)])[0]:
-            frame.mp_ids[ridx[i]] = last.mp_ids[ids[i]]
-            count += 1
-        return count
+        rvalid = np.asarray(res.valid)[:len(ids)]
+        ridx = np.asarray(res.idx)[:len(ids)]
+        sel = np.where(rvalid)[0]
+        # mutual-best guarantees unique target features per row
+        frame.mp_ids[ridx[sel]] = last.mp_ids[ids[sel]]
+        return len(sel)
 
     def _pose_chi2_filter(self, frame: Frame) -> int:
         """Prior mode: gate current bindings by reprojection chi2 under
@@ -420,16 +426,19 @@ class Tracker:
         bound = np.where(frame.mp_ids >= 0)[0]
         if len(bound) == 0:
             return 0
-        pos = np.stack([self.store.mp_pos[frame.mp_ids[i]] for i in bound])
+        pos = np.asarray(self.store.mp_pos[frame.mp_ids[bound]])
         fx, fy, cx, cy = self._cam_tuple
+        n = pad_bucket(len(bound))
+        pad = n - len(bound)
         ok = np.asarray(_reproj_chi2_gate(
-            jnp.asarray(frame.Tcw), jnp.asarray(pos),
-            jnp.asarray(frame.xy[bound]),
-            jnp.asarray(self.inv_sigma2[frame.octave[bound]]),
-            jnp.ones(len(bound), bool), fx, fy, cx, cy, self.cfg.chi2_mono))
-        for j, i in enumerate(bound):
-            if not ok[j]:
-                frame.mp_ids[i] = -1
+            jnp.asarray(frame.Tcw),
+            jnp.asarray(np.pad(pos, ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(frame.xy[bound], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(self.inv_sigma2[frame.octave[bound]],
+                               (0, pad))),
+            jnp.asarray(np.pad(np.ones(len(bound), bool), (0, pad))),
+            fx, fy, cx, cy, self.cfg.chi2_mono))[:len(bound)]
+        frame.mp_ids[bound[~ok]] = -1
         return int(ok.sum())
 
     def _optimize_frame_pose(self, frame: Frame) -> int:
@@ -438,7 +447,7 @@ class Tracker:
         bound = np.where(frame.mp_ids >= 0)[0]
         if len(bound) < 3:
             return 0
-        pos = np.stack([self.store.mp_pos[frame.mp_ids[i]] for i in bound])
+        pos = np.asarray(self.store.mp_pos[frame.mp_ids[bound]])
         n = pad_bucket(len(bound))
         pad = n - len(bound)
         fx, fy, cx, cy = self._cam_tuple
@@ -485,9 +494,10 @@ class Tracker:
         if self.ref_kf < 0:
             return False
         kf = self.store.kfs[self.ref_kf].frame
-        has = kf.mp_ids >= 0
-        ids = np.array([i for i in np.where(has)[0]
-                        if self.store.mp_valid[kf.mp_ids[i]]], np.int32)
+        ids = np.where(kf.mp_ids >= 0)[0]
+        if len(ids):
+            live = np.asarray(self.store.mp_valid[kf.mp_ids[ids]], bool)
+            ids = ids[live].astype(np.int32)
         if len(ids) < self.cfg.track_refkf_min_matches:
             return False
         n_rows = pad_bucket(len(ids))
@@ -594,8 +604,10 @@ class Tracker:
                 jnp.asarray(frame.Tcw), fx, fy, cx, cy, self.bounds,
                 self.cfg.orb.n_levels, self.log_scale)
             visible = np.asarray(fr.visible)
-            for j in np.where(visible[:len(cand)])[0]:
-                self.store.mp_n_visible[cand[j]] += 1
+            vis_pids = np.asarray(cand, np.int64)[visible[:len(cand)]]
+            if len(vis_pids):
+                self.store.mp_n_visible[vis_pids] = \
+                    self.store.mp_n_visible[vis_pids] + 1
 
             th = 3.0 if (frame.frame_id - self.last_reloc_frame_id
                          < self.cfg.max_frames_between_kf) else 1.0
@@ -607,11 +619,11 @@ class Tracker:
                 jnp.asarray(frame.desc), jnp.asarray(frame.valid),
                 jnp.asarray(frame.mp_ids >= 0),
                 jnp.asarray(self.scale_factors), th=th)
-            rvalid = np.asarray(res.valid)
-            ridx = np.asarray(res.idx)
-            for j in np.where(rvalid[:len(cand)])[0]:
-                frame.mp_ids[ridx[j]] = cand[j]
-                n_matched_new += 1
+            rvalid = np.asarray(res.valid)[:len(cand)]
+            ridx = np.asarray(res.idx)[:len(cand)]
+            sel = np.where(rvalid)[0]
+            frame.mp_ids[ridx[sel]] = np.asarray(cand, np.int32)[sel]
+            n_matched_new += len(sel)
 
         if self.cfg.pose_prior:
             good = self._pose_chi2_filter(frame)
@@ -619,9 +631,10 @@ class Tracker:
             good = self._optimize_frame_pose(frame)
 
         # found counters for points that survived
-        for i, pid in enumerate(frame.mp_ids):
-            if pid >= 0 and not frame.mp_outlier[i]:
-                self.store.mp_n_found[pid] += 1
+        found = frame.mp_ids[(frame.mp_ids >= 0) & ~frame.mp_outlier]
+        if len(found):
+            self.store.mp_n_found[found.astype(np.int64)] = \
+                self.store.mp_n_found[found.astype(np.int64)] + 1
 
         self.matches_inliers = good
         need = (self.cfg.track_local_min_inliers_reloc
