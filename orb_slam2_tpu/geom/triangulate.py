@@ -52,6 +52,31 @@ def triangulate_dlt(
     return X[..., :3] / w[..., None]
 
 
+def triangulate_dlt_pairs(
+    P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray
+) -> jnp.ndarray:
+    """DLT with a PER-MATCH second camera: P1 (3,4) shared, P2 (N,3,4).
+
+    Lets matches gathered from many neighbor keyframes triangulate in
+    ONE device call (the reference loops neighbors sequentially,
+    src/LocalMapping.cc:255-495)."""
+    def rows(P, uv):
+        r0 = uv[..., 0:1] * P[..., 2, :] - P[..., 0, :]
+        r1 = uv[..., 1:2] * P[..., 2, :] - P[..., 1, :]
+        return r0, r1
+
+    a0, a1 = rows(P1[None, :, :], uv1)
+    a2, a3 = rows(P2, uv2)
+    A = jnp.stack([a0, a1, a2, a3], axis=-2)
+    A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    X = vecs[..., :, 0]
+    w = X[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return X[..., :3] / w[..., None]
+
+
 class TriangulationCheck(NamedTuple):
     good: jnp.ndarray        # (N,) bool — passes all gates
     parallax_cos: jnp.ndarray  # (N,) cosine of triangulation angle
@@ -111,6 +136,53 @@ def check_triangulation(
         jnp.all(jnp.isfinite(pts_w), axis=-1)
         & (z1 > 0)
         & (z2 > 0)
+        & (e1 <= reproj_chi2 * sigma2_1)
+        & (e2 <= reproj_chi2 * sigma2_2)
+        & (cos_par < min_parallax_cos)
+        & (cos_par > -1.0 + 1e-6)
+    )
+    return TriangulationCheck(good=good, parallax_cos=cos_par)
+
+
+def check_triangulation_pairs(
+    pts_w: jnp.ndarray,
+    Tcw1: jnp.ndarray,
+    Tcw2: jnp.ndarray,     # (N, 4, 4) per-match second camera
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    fx: float, fy: float, cx: float, cy: float,
+    sigma2_1: jnp.ndarray,
+    sigma2_2: jnp.ndarray,
+    reproj_chi2: float = 5.991,
+    min_parallax_cos: float = 0.99998,
+) -> TriangulationCheck:
+    """check_triangulation with a per-match second camera."""
+    R1, t1 = Tcw1[:3, :3], Tcw1[:3, 3]
+    pc1 = jnp.einsum("ij,nj->ni", R1, pts_w) + t1
+    pc2 = jnp.einsum("nij,nj->ni", Tcw2[:, :3, :3], pts_w) + Tcw2[:, :3, 3]
+    z1, z2 = pc1[..., 2], pc2[..., 2]
+
+    def reproj_err2(pc, uv):
+        inv_z = 1.0 / jnp.where(jnp.abs(pc[..., 2]) < 1e-12, 1e-12,
+                                pc[..., 2])
+        u = fx * pc[..., 0] * inv_z + cx
+        v = fy * pc[..., 1] * inv_z + cy
+        du, dv = u - uv[..., 0], v - uv[..., 1]
+        return du * du + dv * dv
+
+    e1 = reproj_err2(pc1, uv1)
+    e2 = reproj_err2(pc2, uv2)
+    o1 = -R1.T @ t1
+    o2 = -jnp.einsum("nij,nj->ni", jnp.swapaxes(Tcw2[:, :3, :3], -1, -2),
+                     Tcw2[:, :3, 3])
+    r1 = pts_w - o1
+    r2 = pts_w - o2
+    n1 = jnp.linalg.norm(r1, axis=-1)
+    n2 = jnp.linalg.norm(r2, axis=-1)
+    cos_par = jnp.sum(r1 * r2, axis=-1) / (n1 * n2 + 1e-12)
+    good = (
+        jnp.all(jnp.isfinite(pts_w), axis=-1)
+        & (z1 > 0) & (z2 > 0)
         & (e1 <= reproj_chi2 * sigma2_1)
         & (e2 <= reproj_chi2 * sigma2_2)
         & (cos_par < min_parallax_cos)

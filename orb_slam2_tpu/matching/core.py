@@ -64,6 +64,11 @@ class MatchResult(NamedTuple):
     dist: jnp.ndarray   # (N,) int32 — best distance (BIG if none)
     valid: jnp.ndarray  # (N,) bool
 
+    def host(self) -> "MatchResult":
+        """All three fields in ONE device->host transfer (separate
+        np.asarray reads each pay a tunnel round trip)."""
+        return MatchResult(*jax.device_get(tuple(self)))
+
 
 def best_match(
     dist: jnp.ndarray,

@@ -84,17 +84,23 @@ class FrameFactory:
         feats, und = self._pipeline(img.shape[0], img.shape[1], init_mode)(img)
         fid = self._next_id
         self._next_id += 1
-        n = feats.xy.shape[0]
+        # ONE batched device->host transfer for all outputs: each
+        # separate np.asarray costs a full round trip through the TPU
+        # tunnel (~77 ms measured), 7 of them dominated frame build time
+        und_h, xy_h, resp_h, ang_h, oct_h, desc_h, valid_h = jax.device_get(
+            (und, feats.xy, feats.response, feats.angle, feats.octave,
+             feats.desc, feats.valid))
+        n = xy_h.shape[0]
         return Frame(
             frame_id=fid,
             timestamp=timestamp,
-            xy=np.asarray(und),
-            xy_raw=np.asarray(feats.xy),
-            response=np.asarray(feats.response),
-            angle=np.asarray(feats.angle),
-            octave=np.asarray(feats.octave),
-            desc=np.asarray(feats.desc),
-            valid=np.asarray(feats.valid),
+            xy=und_h,
+            xy_raw=xy_h,
+            response=resp_h,
+            angle=ang_h,
+            octave=oct_h,
+            desc=desc_h,
+            valid=valid_h,
             Tcw=np.eye(4, dtype=np.float32) if Tcw is None else np.asarray(Tcw, np.float32),
             mp_ids=np.full(n, -1, np.int32),
             mp_outlier=np.zeros(n, bool),

@@ -251,6 +251,78 @@ class MapStore:
         self._scale_factor = scale_factor
         self._n_levels = n_levels
 
+    def update_points_batch(self, pids):
+        """Batched ComputeDistinctiveDescriptors + UpdateNormalAndDepth
+        over a point set — replaces O(points) per-point Python calls
+        (they dominated keyframe processing in profiling: 25k calls per
+        keyframe).  Descriptor medoids run in one native call; normals
+        and scale bands are segment-summed numpy."""
+        pids = [p for p in dict.fromkeys(int(p) for p in pids)
+                if self.mp_valid[p] and self.mp_obs[p]]
+        if not pids:
+            return
+        # flatten observations (CSR)
+        obs_pid_local, obs_kid, obs_fi = [], [], []
+        offsets = [0]
+        for li, p in enumerate(pids):
+            for kid, fi in self.mp_obs[p].items():
+                obs_pid_local.append(li)
+                obs_kid.append(kid)
+                obs_fi.append(fi)
+            offsets.append(len(obs_kid))
+        obs_pid_local = np.asarray(obs_pid_local, np.int64)
+        obs_kid = np.asarray(obs_kid, np.int64)
+        obs_fi = np.asarray(obs_fi, np.int64)
+        offsets = np.asarray(offsets, np.int64)
+        pid_arr = np.asarray(pids, np.int64)
+
+        # --- descriptors: one native medoid-batch call ---
+        descs_flat = np.empty((len(obs_kid), 8), np.uint32)
+        kf_cache = {}
+        for kid in np.unique(obs_kid):
+            kf_cache[kid] = self.kfs[kid].frame
+        for j in range(len(obs_kid)):
+            descs_flat[j] = kf_cache[obs_kid[j]].desc[obs_fi[j]]
+        from .. import native
+        sel = native.min_median_descriptor_batch(descs_flat, offsets)
+        ok = sel >= 0
+        self.mp_desc[pid_arr[ok]] = descs_flat[offsets[:-1][ok] + sel[ok]]
+
+        # --- normals: mean unit viewing ray over observers ---
+        centers = {kid: self.kf_center(kid) for kid in kf_cache}
+        cen = np.stack([centers[k] for k in obs_kid])
+        pos = np.asarray(self.mp_pos[pid_arr])
+        v = pos[obs_pid_local] - cen
+        nrm = np.linalg.norm(v, axis=-1, keepdims=True)
+        v = v / np.maximum(nrm, 1e-9)
+        acc = np.zeros((len(pids), 3), np.float64)
+        np.add.at(acc, obs_pid_local, v)
+        an = np.linalg.norm(acc, axis=-1, keepdims=True)
+        good_n = an[:, 0] > 1e-9
+        new_normal = np.where(good_n[:, None], acc / np.maximum(an, 1e-9),
+                              np.asarray(self.mp_normal[pid_arr]))
+        self.mp_normal[pid_arr] = new_normal.astype(np.float32)
+
+        # --- scale band from the reference KF observation ---
+        sf = getattr(self, "_scale_factor", 1.2)
+        n_levels = getattr(self, "_n_levels", 8)
+        first = offsets[:-1]
+        ref_row = first.copy()
+        ref_kf = np.asarray(self.mp_first_kf[pid_arr])
+        for li in range(len(pids)):
+            a, b = offsets[li], offsets[li + 1]
+            hits = np.where(obs_kid[a:b] == ref_kf[li])[0]
+            if len(hits):
+                ref_row[li] = a + hits[0]
+        level = np.array([kf_cache[obs_kid[r]].octave[obs_fi[r]]
+                          for r in ref_row])
+        ref_cen = np.stack([centers[obs_kid[r]] for r in ref_row])
+        dist = np.linalg.norm(pos - ref_cen, axis=-1)
+        max_d = dist * (sf ** level)
+        self.mp_max_dist[pid_arr] = max_d.astype(np.float32)
+        self.mp_min_dist[pid_arr] = (max_d / (sf ** (n_levels - 1))
+                                     ).astype(np.float32)
+
     def matched_ratio(self, pid: int) -> float:
         return self.mp_n_found[pid] / max(self.mp_n_visible[pid], 1)
 

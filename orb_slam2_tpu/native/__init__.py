@@ -54,6 +54,8 @@ def _load() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int64, c_i32p]
     lib.hamming_min_median_index.argtypes = [c_u32p, ctypes.c_int64]
     lib.hamming_min_median_index.restype = ctypes.c_int32
+    lib.hamming_min_median_batch.argtypes = [c_u32p, c_i64p,
+                                             ctypes.c_int64, c_i32p]
     lib.kfdb_create.restype = ctypes.c_void_p
     lib.kfdb_destroy.argtypes = [ctypes.c_void_p]
     lib.kfdb_add.argtypes = [ctypes.c_void_p, ctypes.c_int32, c_i64p,
@@ -109,6 +111,32 @@ def min_median_descriptor_index(descs: np.ndarray) -> int:
         return int(np.argmin(np.median(d, axis=1)))
     return int(lib.hamming_min_median_index(
         _ptr(descs, ctypes.c_uint32), len(descs)))
+
+
+def min_median_descriptor_batch(descs_flat: np.ndarray,
+                                offsets: np.ndarray) -> np.ndarray:
+    """Medoid descriptor index per group (CSR layout): one call for all
+    map points of a keyframe."""
+    descs_flat = np.ascontiguousarray(descs_flat, np.uint32)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = len(offsets) - 1
+    lib = _load()
+    out = np.empty(n, np.int32)
+    if lib is None:
+        for g in range(n):
+            a, b = offsets[g], offsets[g + 1]
+            if b - a <= 0:
+                out[g] = -1
+            elif b - a == 1:
+                out[g] = 0
+            else:
+                d = hamming_matrix(descs_flat[a:b], descs_flat[a:b])
+                out[g] = int(np.argmin(np.median(d, axis=1)))
+        return out
+    lib.hamming_min_median_batch(
+        _ptr(descs_flat, ctypes.c_uint32), _ptr(offsets, ctypes.c_int64),
+        n, _ptr(out, ctypes.c_int32))
+    return out
 
 
 # ----------------------------------------------------------------------

@@ -71,6 +71,37 @@ int32_t hamming_min_median_index(const uint32_t* descs, int64_t n) {
   return best;
 }
 
+// Batched medoid selection: descriptors of MANY map points concatenated
+// (CSR offsets); writes the chosen index (relative to each group) per
+// point.  One ctypes call replaces an O(points) Python loop.
+void hamming_min_median_batch(const uint32_t* descs, const int64_t* offsets,
+                              int64_t n_groups, int32_t* out_idx) {
+  std::vector<int32_t> row;
+  for (int64_t g = 0; g < n_groups; ++g) {
+    const int64_t a = offsets[g], b = offsets[g + 1];
+    const int64_t n = b - a;
+    if (n <= 0) { out_idx[g] = -1; continue; }
+    if (n == 1) { out_idx[g] = 0; continue; }
+    row.resize(n);
+    int32_t best = 0;
+    double best_med = 1e18;
+    for (int64_t i = 0; i < n; ++i) {
+      const uint32_t* di = descs + (a + i) * 8;
+      for (int64_t j = 0; j < n; ++j) {
+        const uint32_t* dj = descs + (a + j) * 8;
+        int32_t d = 0;
+        for (int k = 0; k < 8; ++k)
+          d += __builtin_popcount(di[k] ^ dj[k]);
+        row[j] = d;
+      }
+      std::nth_element(row.begin(), row.begin() + n / 2, row.end());
+      double med = row[n / 2];
+      if (med < best_med) { best_med = med; best = (int32_t)i; }
+    }
+    out_idx[g] = best;
+  }
+}
+
 // ---------------------------------------------------------------------
 // BoW inverted-file keyframe database
 // ---------------------------------------------------------------------

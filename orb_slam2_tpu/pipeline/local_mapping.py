@@ -9,9 +9,11 @@ LocalMapping::Run's sequence, src/LocalMapping.cc:78-158).
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..geom import triangulate, se3
@@ -35,6 +37,47 @@ def compute_F12(T1: np.ndarray, T2: np.ndarray, K: np.ndarray) -> np.ndarray:
     ])
     Kinv = np.linalg.inv(K)
     return (Kinv.T @ tx @ R12 @ Kinv).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th",
+    "ratio"))
+def _fuse_project_stack(pos, normal, min_d, max_d, pvalid, desc,
+                        Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
+                        scale_factors, fx, fy, cx, cy, bounds,
+                        n_levels, log_scale, th=3.0, ratio=1.0):
+    """One shared point set projected into MANY target keyframes
+    (forward ORBmatcher::Fuse over all fuse targets) in one jit call."""
+    def body(args):
+        Tcw, kxy, koct, kdesc, kvalid = args
+        fr = frustum.is_in_frustum(
+            pos, normal, min_d, max_d, pvalid, Tcw,
+            fx, fy, cx, cy, bounds, n_levels, log_scale)
+        r = search.search_by_projection_local_map(
+            fr.uv, fr.pred_level, fr.view_cos, desc, fr.visible,
+            kxy, koct, kdesc, kvalid, jnp.zeros_like(kvalid),
+            scale_factors, th=th, ratio=ratio)
+        return r.idx, r.dist, r.valid
+
+    return jax.lax.map(body, (Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s))
+
+
+@jax.jit
+def _search_triangulation_stack(xy1, desc1, valid1, octave1, angle1,
+                                xy2_s, desc2_s, valid2_s, oct2_s, ang2_s,
+                                F12_s, epi_s, sigma2, scale_factors):
+    """All neighbor SearchForTriangulation calls in one jit.  lax.map
+    (not vmap) keeps only ONE (N1, N2) distance matrix alive at a time —
+    sequential on device, single host round trip."""
+    def body(args):
+        xy2, d2, v2, o2, a2, F, e = args
+        r = search.search_for_triangulation(
+            xy1, desc1, valid1, octave1, angle1, None,
+            xy2, d2, v2, o2, a2, None, F, e, sigma2, scale_factors)
+        return r.idx, r.dist, r.valid
+
+    return jax.lax.map(
+        body, (xy2_s, desc2_s, valid2_s, oct2_s, ang2_s, F12_s, epi_s))
 
 
 def gather_ba_problem(store: MapStore, kf_ids: List[int], inv_sigma2):
@@ -92,8 +135,9 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
         jnp.asarray(np.pad(obs_sig, (0, padO))),
         jnp.asarray(np.pad(np.ones(len(obs_kf), bool), (0, padO))),
         fx, fy, cx, cy, iters=iters)
-    new_pts = np.asarray(res.points)[:len(pids)]
-    inl = np.asarray(res.obs_inlier)[:len(obs_kf)]
+    new_pts_all, inl_all = jax.device_get((res.points, res.obs_inlier))
+    new_pts = new_pts_all[:len(pids)]
+    inl = inl_all[:len(obs_kf)]
     for j, p in enumerate(pids):
         store.mp_pos[p] = new_pts[j]
     # erase outlier observations (the reference's post-BA edge removal,
@@ -103,9 +147,7 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
         pid = pids[obs_pt[o]]
         if store.mp_valid[pid]:
             store.erase_observation(pid, kid)
-    for p in pids:
-        if store.mp_valid[p]:
-            store.update_normal_and_depth(p)
+    store.update_points_batch(pids)
 
 
 def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
@@ -181,9 +223,8 @@ def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
         jnp.asarray(np.pad(fixed_mask, (0, K - len(all_kfs)),
                            constant_values=True)),
         fx, fy, cx, cy, iters=iters, cg_iters=20)
-    new_poses = np.asarray(res.cam_Tcw)
-    new_pts = np.asarray(res.points)
-    inl = np.asarray(res.obs_inlier)
+    new_poses, new_pts, inl = jax.device_get(
+        (res.cam_Tcw, res.points, res.obs_inlier))
     for i, kid in enumerate(all_kfs):
         if not fixed_mask[i]:
             store.set_kf_pose(kid, new_poses[i])
@@ -194,9 +235,7 @@ def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
         pid = pids[obs_pt[o]]
         if store.mp_valid[pid]:
             store.erase_observation(pid, kid)
-    for p in pids:
-        if store.mp_valid[p]:
-            store.update_normal_and_depth(p)
+    store.update_points_batch(pids)
 
 
 class LocalMapper:
@@ -249,7 +288,14 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _create_new_map_points(self, kid: int):
-        """CreateNewMapPoints (src/LocalMapping.cc:255-495)."""
+        """CreateNewMapPoints (src/LocalMapping.cc:255-495).
+
+        The reference loops neighbor keyframes sequentially (20 searches,
+        20 triangulations).  Here ALL neighbor searches run in ONE device
+        call (lax.map over a stacked neighbor batch — sequential on
+        device so only one distance matrix lives at a time) and all
+        candidate pairs triangulate in ONE per-pair-camera DLT call.
+        Through the TPU tunnel this cuts ~100 round trips to ~4."""
         store = self.store
         cfg = self.cfg
         kf1 = store.kfs[kid]
@@ -262,6 +308,8 @@ class LocalMapper:
         fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
                           float(cfg.cam.cx), float(cfg.cam.cy))
 
+        # --- eligible neighbors + F12/epipole, all host math ---
+        elig = []
         for kid2 in neighbors:
             kf2 = store.kfs[kid2]
             o2 = store.kf_center(kid2)
@@ -269,68 +317,119 @@ class LocalMapper:
             med_depth = store.scene_median_depth(kid2)
             if med_depth <= 0 or baseline / med_depth < cfg.min_baseline_depth_ratio:
                 continue
-            f2 = kf2.frame
-            unbound2 = (f2.mp_ids < 0) & f2.valid
             F12 = compute_F12(kf1.Tcw, kf2.Tcw, K)
-            # epipole of camera 1 in image 2
-            uv_e, z_e = _project_points(
-                jnp.asarray(kf2.Tcw), jnp.asarray(o1[None].astype(np.float32)),
-                fx, fy, cx, cy)
-            res = search.search_for_triangulation(
-                jnp.asarray(f1.xy), jnp.asarray(f1.desc), jnp.asarray(unbound1),
-                jnp.asarray(f1.octave), jnp.asarray(f1.angle), None,
-                jnp.asarray(f2.xy), jnp.asarray(f2.desc), jnp.asarray(unbound2),
-                jnp.asarray(f2.octave), jnp.asarray(f2.angle), None,
-                jnp.asarray(F12), jnp.asarray(np.asarray(uv_e)[0]),
-                jnp.asarray(self.sigma2), jnp.asarray(self.scale_factors))
-            rvalid = np.asarray(res.valid)
-            ridx = np.asarray(res.idx)
-            rows = np.where(rvalid)[0]
+            pc = kf2.Tcw[:3, :3] @ o1 + kf2.Tcw[:3, 3]
+            z = pc[2] if abs(pc[2]) > 1e-9 else 1e-9
+            uv_e = np.array([fx * pc[0] / z + cx, fy * pc[1] / z + cy],
+                            np.float32)
+            elig.append((kid2, F12, uv_e, o2))
+        if not elig:
+            store.update_connections(kid)
+            return
+
+        # --- stack neighbor frames (pad to common feature count) ---
+        B = len(elig)
+        Bp = ((B + 3) // 4) * 4
+        n2 = max(store.kfs[e[0]].frame.n for e in elig)
+        xy2 = np.zeros((Bp, n2, 2), np.float32)
+        desc2 = np.zeros((Bp, n2, 8), np.uint32)
+        valid2 = np.zeros((Bp, n2), bool)
+        oct2 = np.zeros((Bp, n2), np.int32)
+        ang2 = np.zeros((Bp, n2), np.float32)
+        F12_s = np.tile(np.eye(3, dtype=np.float32), (Bp, 1, 1))
+        epi_s = np.zeros((Bp, 2), np.float32)
+        for b, (kid2, F12, uv_e, _) in enumerate(elig):
+            f2 = store.kfs[kid2].frame
+            m = f2.n
+            xy2[b, :m] = f2.xy
+            desc2[b, :m] = f2.desc
+            valid2[b, :m] = (f2.mp_ids < 0) & f2.valid
+            oct2[b, :m] = f2.octave
+            ang2[b, :m] = f2.angle
+            F12_s[b] = F12
+            epi_s[b] = uv_e
+
+        sidx, sdist, svalid = jax.device_get(_search_triangulation_stack(
+            jnp.asarray(f1.xy), jnp.asarray(f1.desc), jnp.asarray(unbound1),
+            jnp.asarray(f1.octave), jnp.asarray(f1.angle),
+            jnp.asarray(xy2), jnp.asarray(desc2), jnp.asarray(valid2),
+            jnp.asarray(oct2), jnp.asarray(ang2),
+            jnp.asarray(F12_s), jnp.asarray(epi_s),
+            jnp.asarray(self.sigma2), jnp.asarray(self.scale_factors)))
+
+        # --- collect candidate pairs (first neighbor wins per row) ---
+        rows_all, cols_all, nb_all = [], [], []
+        claimed = np.zeros(f1.n, bool)
+        for b in range(B):
+            rows = np.where(svalid[b] & ~claimed)[0]
             if len(rows) == 0:
                 continue
-            cols = ridx[rows]
-            nb = pad_bucket(len(rows))
-            padn = nb - len(rows)
-            uv1 = np.pad(f1.xy[rows], ((0, padn), (0, 0)))
-            uv2 = np.pad(f2.xy[cols], ((0, padn), (0, 0)))
-            sig1 = np.pad(self.sigma2[f1.octave[rows]], (0, padn),
-                          constant_values=1.0)
-            sig2 = np.pad(self.sigma2[f2.octave[cols]], (0, padn),
-                          constant_values=1.0)
-            P1 = triangulate.projection_matrix(jnp.asarray(K), jnp.asarray(kf1.Tcw))
-            P2 = triangulate.projection_matrix(jnp.asarray(K), jnp.asarray(kf2.Tcw))
-            X = triangulate.triangulate_dlt(
-                P1, P2, jnp.asarray(uv1), jnp.asarray(uv2))
-            chk = triangulate.check_triangulation(
-                X, jnp.asarray(kf1.Tcw), jnp.asarray(kf2.Tcw),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                fx, fy, cx, cy, jnp.asarray(sig1), jnp.asarray(sig2))
-            good = np.array(chk.good)[:len(rows)]
-            Xn = np.asarray(X)[:len(rows)]
-            # scale-consistency gate (src/LocalMapping.cc:455-470)
-            d1 = np.linalg.norm(Xn - o1, axis=-1)
-            d2 = np.linalg.norm(Xn - o2, axis=-1)
-            ratio_dist = d2 / np.maximum(d1, 1e-9)
-            ratio_oct = (self.scale_factors[f1.octave[rows]]
-                         / self.scale_factors[f2.octave[cols]])
-            rf = 1.5 * cfg.orb.scale_factor
-            good &= (ratio_dist < ratio_oct * rf) & (ratio_dist > ratio_oct / rf)
+            claimed[rows] = True
+            rows_all.append(rows)
+            cols_all.append(sidx[b][rows])
+            nb_all.append(np.full(len(rows), b, np.int32))
+        if not rows_all:
+            store.update_connections(kid)
+            return
+        rows_all = np.concatenate(rows_all)
+        cols_all = np.concatenate(cols_all)
+        nb_all = np.concatenate(nb_all)
 
-            for j in np.where(good)[0]:
-                r, c = int(rows[j]), int(cols[j])
-                if f1.mp_ids[r] >= 0 or f2.mp_ids[c] >= 0:
-                    continue  # got bound earlier in this loop
-                pid = store.add_point(
-                    pos=Xn[j], desc=f1.desc[r],
-                    normal=np.array([0, 0, 1.0], np.float32),
-                    min_dist=0.1, max_dist=100.0, first_kf=kid,
-                    first_frame=f1.frame_id)
-                store.add_observation(pid, kid, r)
-                store.add_observation(pid, kid2, c)
-                store.update_point_descriptor(pid)
-                store.update_normal_and_depth(pid)
-                self.recent_points.append(pid)
-                unbound1[r] = False
+        # --- ONE per-pair triangulation + gate call ---
+        Tcw2_s = np.stack([store.kfs[e[0]].Tcw for e in elig])
+        n_pairs = len(rows_all)
+        nbk = pad_bucket(n_pairs)
+        padn = nbk - n_pairs
+        uv1 = np.pad(f1.xy[rows_all], ((0, padn), (0, 0)))
+        uv2p = np.pad(xy2[nb_all, cols_all], ((0, padn), (0, 0)))
+        sig1 = np.pad(self.sigma2[f1.octave[rows_all]], (0, padn),
+                      constant_values=1.0)
+        col_oct = oct2[nb_all, cols_all]
+        sig2 = np.pad(self.sigma2[col_oct], (0, padn), constant_values=1.0)
+        Tcw2_pairs = np.concatenate(
+            [Tcw2_s[nb_all],
+             np.tile(np.eye(4, dtype=np.float32), (padn, 1, 1))])
+        P1 = triangulate.projection_matrix(jnp.asarray(K),
+                                           jnp.asarray(kf1.Tcw))
+        P2 = triangulate.projection_matrix(jnp.asarray(K),
+                                           jnp.asarray(Tcw2_pairs))
+        X = triangulate.triangulate_dlt_pairs(
+            P1, P2, jnp.asarray(uv1), jnp.asarray(uv2p))
+        chk = triangulate.check_triangulation_pairs(
+            X, jnp.asarray(kf1.Tcw), jnp.asarray(Tcw2_pairs),
+            jnp.asarray(uv1), jnp.asarray(uv2p),
+            fx, fy, cx, cy, jnp.asarray(sig1), jnp.asarray(sig2))
+        good_all, X_all = jax.device_get((chk.good, X))
+        good = np.array(good_all[:n_pairs])  # device_get views are read-only
+        Xn = X_all[:n_pairs]
+
+        # scale-consistency gate (src/LocalMapping.cc:455-470)
+        o2_pairs = np.stack([e[3] for e in elig])[nb_all]
+        d1 = np.linalg.norm(Xn - o1, axis=-1)
+        d2 = np.linalg.norm(Xn - o2_pairs, axis=-1)
+        ratio_dist = d2 / np.maximum(d1, 1e-9)
+        ratio_oct = (self.scale_factors[f1.octave[rows_all]]
+                     / self.scale_factors[col_oct])
+        rf = 1.5 * cfg.orb.scale_factor
+        good &= (ratio_dist < ratio_oct * rf) & (ratio_dist > ratio_oct / rf)
+
+        new_pids: List[int] = []
+        for j in np.where(good)[0]:
+            r, c = int(rows_all[j]), int(cols_all[j])
+            kid2 = elig[nb_all[j]][0]
+            f2 = store.kfs[kid2].frame
+            if f1.mp_ids[r] >= 0 or f2.mp_ids[c] >= 0:
+                continue
+            pid = store.add_point(
+                pos=Xn[j], desc=f1.desc[r],
+                normal=np.array([0, 0, 1.0], np.float32),
+                min_dist=0.1, max_dist=100.0, first_kf=kid,
+                first_frame=f1.frame_id)
+            store.add_observation(pid, kid, r)
+            store.add_observation(pid, kid2, c)
+            new_pids.append(pid)
+            self.recent_points.append(pid)
+        store.update_points_batch(new_pids)
         store.update_connections(kid)
 
     # ------------------------------------------------------------------
@@ -347,11 +446,13 @@ class LocalMapper:
                     second.append(t2)
         all_targets = targets + second
 
-        # forward: this KF's points into each neighbor
+        # forward: this KF's points into each neighbor — all targets in
+        # ONE device call (the reference loops them, src/LocalMapping.cc
+        # :548-556)
         own = [p for p in store.kfs[kid].frame.mp_ids
                if p >= 0 and store.mp_valid[p]]
-        for t in all_targets:
-            self._fuse_into_kf(t, own)
+        if own and all_targets:
+            self._fuse_batch(all_targets, own)
         # reverse: neighbors' points into this KF
         cand = []
         seen = set(own)
@@ -361,12 +462,78 @@ class LocalMapper:
                     seen.add(p)
                     cand.append(p)
         self._fuse_into_kf(kid, cand)
-        # refresh
-        for p in store.kfs[kid].frame.mp_ids:
-            if p >= 0 and store.mp_valid[p]:
-                store.update_point_descriptor(p)
-                store.update_normal_and_depth(p)
+        # refresh (batched: one native medoid call + segment sums)
+        store.update_points_batch(
+            [p for p in store.kfs[kid].frame.mp_ids if p >= 0])
         store.update_connections(kid)
+
+    def _apply_fuse(self, kid: int, pids: List[int], rvalid, ridx, rdist):
+        """Shared fuse decision loop (ORBmatcher::Fuse tail,
+        src/ORBmatcher.cc:1150-1216): replace or add observations."""
+        store = self.store
+        f = store.kfs[kid].frame
+        for j in np.where(rvalid[:len(pids)])[0]:
+            if rdist[j] > 50:
+                continue
+            pid = pids[j]
+            if not store.mp_valid[pid] or kid in store.mp_obs[pid]:
+                continue
+            feat = int(ridx[j])
+            existing = f.mp_ids[feat]
+            if existing >= 0 and store.mp_valid[existing]:
+                if existing == pid:
+                    continue
+                # keep the point with more observations
+                if len(store.mp_obs[existing]) > len(store.mp_obs[pid]):
+                    store.replace_point(pid, existing)
+                else:
+                    store.replace_point(existing, pid)
+            else:
+                store.add_observation(pid, kid, feat)
+
+    def _fuse_batch(self, target_kids: List[int], pids: List[int]):
+        """Forward fuse of one point set into many keyframes: a single
+        lax.map'd frustum+search call, then host-side merge decisions."""
+        store = self.store
+        cfg = self.cfg
+        soa = store.points_soa(pids)
+        P = pad_bucket(len(pids))
+        pad = P - len(pids)
+        T = len(target_kids)
+        Tp = ((T + 3) // 4) * 4
+        n2 = max(store.kfs[t].frame.n for t in target_kids)
+        Tcw_s = np.tile(np.eye(4, dtype=np.float32), (Tp, 1, 1))
+        kxy = np.zeros((Tp, n2, 2), np.float32)
+        koct = np.zeros((Tp, n2), np.int32)
+        kdesc = np.zeros((Tp, n2, 8), np.uint32)
+        kvalid = np.zeros((Tp, n2), bool)
+        for b, t in enumerate(target_kids):
+            f = store.kfs[t].frame
+            m = f.n
+            Tcw_s[b] = store.kfs[t].Tcw
+            kxy[b, :m] = f.xy
+            koct[b, :m] = f.octave
+            kdesc[b, :m] = f.desc
+            kvalid[b, :m] = f.valid
+
+        fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
+                          float(cfg.cam.cx), float(cfg.cam.cy))
+        from ..geom.camera import undistorted_bounds
+        bounds = undistorted_bounds(cfg.cam)
+        sidx, sdist, svalid = jax.device_get(_fuse_project_stack(
+            jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
+            jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
+            jnp.asarray(np.pad(soa["valid"], (0, pad))),
+            jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
+            jnp.asarray(Tcw_s), jnp.asarray(kxy), jnp.asarray(koct),
+            jnp.asarray(kdesc), jnp.asarray(kvalid),
+            jnp.asarray(self.scale_factors.astype(np.float32)),
+            fx, fy, cx, cy, bounds, cfg.orb.n_levels, self.log_scale,
+            th=3.0, ratio=1.0))
+        for b, t in enumerate(target_kids):
+            self._apply_fuse(t, pids, svalid[b], sidx[b], sdist[b])
 
     def _fuse_into_kf(self, kid: int, pids: List[int]):
         """ORBmatcher::Fuse (src/ORBmatcher.cc:1060-1216)."""
@@ -402,9 +569,10 @@ class LocalMapper:
             jnp.asarray(np.zeros(f.n, bool)),  # allow bound features
             jnp.asarray(self.scale_factors.astype(np.float32)), th=3.0,
             ratio=1.0)
-        rvalid = np.asarray(res.valid)
-        ridx = np.asarray(res.idx)
-        rdist = np.asarray(res.dist)
+        res = res.host()
+        rvalid = res.valid
+        ridx = res.idx
+        rdist = res.dist
         for j in np.where(rvalid[:len(pids)])[0]:
             if rdist[j] > 50:
                 continue

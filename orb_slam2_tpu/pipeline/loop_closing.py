@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..geom import sim3 as sim3_mod
@@ -181,8 +182,9 @@ class LoopCloser:
                 jnp.asarray(np.pad(fc.angle[idx_cand],
                                    (0, n2 - len(idx_cand)))), None,
                 ratio=0.75)
-            mvalid = np.asarray(res.valid)[:len(idx_cur)]
-            midx = np.asarray(res.idx)[:len(idx_cur)]
+            res = res.host()
+            mvalid = res.valid[:len(idx_cur)]
+            midx = res.idx[:len(idx_cur)]
             rows = np.where(mvalid)[0]
             if len(rows) < self.cfg.loop_sim3_min_inliers:
                 continue
@@ -243,8 +245,9 @@ class LoopCloser:
                 jnp.asarray(S12), jnp.asarray(self.scale_factors),
                 fx, fy, cx, cy, self.bounds,
                 self.cfg.orb.n_levels, self.log_scale, th=7.5)
-            sm_idx = np.asarray(sres.idx)
-            sm_valid = np.asarray(sres.valid)
+            sres = sres.host()
+            sm_idx = sres.idx
+            sm_valid = sres.valid
 
             # union of BoW matches and Sim3-search matches, keyed by cur feature
             pair: Dict[int, int] = {int(a): int(b)
@@ -330,8 +333,9 @@ class LoopCloser:
             jnp.asarray(self.scale_factors),
             fx, fy, cx, cy, self.bounds,
             self.cfg.orb.n_levels, self.log_scale, th=10.0)
-        rvalid = np.asarray(res.valid)[:len(loop_mps)]
-        ridx = np.asarray(res.idx)[:len(loop_mps)]
+        res = res.host()
+        rvalid = res.valid[:len(loop_mps)]
+        ridx = res.idx[:len(loop_mps)]
         claimed = set(matched.values())
         for j in np.where(rvalid)[0]:
             pid = loop_mps[j]
@@ -381,8 +385,7 @@ class LoopCloser:
                     moved.add(p)
             # SE3 writeback with t/s (src/LoopClosing.cc:569-573)
             store.set_kf_pose(gk, _se3_from_sim3(corrected[gk]))
-        for p in moved:
-            store.update_normal_and_depth(p)
+        store.update_points_batch(list(moved))
         for gk in group:
             store.update_connections(gk)
 
@@ -456,8 +459,9 @@ class LoopCloser:
             jnp.asarray(self.scale_factors),
             fx, fy, cx, cy, self.bounds,
             self.cfg.orb.n_levels, self.log_scale, th=4.0)
-        rvalid = np.asarray(res.valid)[:len(pids)]
-        ridx = np.asarray(res.idx)[:len(pids)]
+        res = res.host()
+        rvalid = res.valid[:len(pids)]
+        ridx = res.idx[:len(pids)]
         for j in np.where(rvalid)[0]:
             pid = pids[j]
             feat = int(ridx[j])
@@ -590,9 +594,7 @@ class LoopCloser:
             fix = sim3_mod.compose(sim3_mod.inv(S_after), S_before)
             store.mp_pos[pid] = np.asarray(sim3_mod.apply_one(
                 fix, jnp.asarray(store.mp_pos[pid]))).astype(np.float32)
-        for pid in range(store.n_points()):
-            if store.mp_valid[pid]:
-                store.update_normal_and_depth(pid)
+        store.update_points_batch(range(store.n_points()))
 
     # ------------------------------------------------------------------
     # RunGlobalBundleAdjustment (src/LoopClosing.cc:753-894)
@@ -636,13 +638,10 @@ class LoopCloser:
             jnp.asarray(np.pad(fixed, (0, Kp - len(kids)),
                                constant_values=True)),
             fx, fy, cx, cy, iters=iters, cg_iters=30, use_huber=False)
-        new_poses = np.asarray(res.cam_Tcw)
-        new_pts = np.asarray(res.points)
+        new_poses, new_pts = jax.device_get((res.cam_Tcw, res.points))
         for i, k in enumerate(kids):
             if not fixed[i]:
                 store.set_kf_pose(k, new_poses[i])
         for j, p in enumerate(pids):
             store.mp_pos[p] = new_pts[j]
-        for p in pids:
-            if store.mp_valid[p]:
-                store.update_normal_and_depth(p)
+        store.update_points_batch(pids)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import List
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..matching import search
@@ -82,8 +83,9 @@ class Relocalizer:
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
             jnp.asarray(frame.angle), None,
             ratio=0.75)
-        rvalid = np.asarray(res.valid)[:len(ids)]
-        ridx = np.asarray(res.idx)[:len(ids)]
+        res = res.host()
+        rvalid = res.valid[:len(ids)]
+        ridx = res.idx[:len(ids)]
         rows = np.where(rvalid)[0]
         return ids[rows], ridx[rows]
 
@@ -130,9 +132,10 @@ class Relocalizer:
                 jnp.asarray(samples), fx, fy, cx, cy, min_inliers=10)
             if not bool(rr.ok):
                 continue
-            frame.Tcw = np.asarray(rr.Tcw)
+            Tcw_h, inl_h = jax.device_get((rr.Tcw, rr.inliers))
+            frame.Tcw = Tcw_h
             frame.mp_ids[:] = -1
-            inl = np.asarray(rr.inliers)[:len(pids)]
+            inl = inl_h[:len(pids)]
             for j in np.where(inl)[0]:
                 frame.mp_ids[feat_fr[j]] = pids[j]
 
@@ -166,8 +169,9 @@ class Relocalizer:
                                (0, pad))),
             jnp.asarray(np.pad(np.ones(len(bound), bool), (0, pad))),
             fx, fy, cx, cy)
-        frame.Tcw = np.asarray(res.Tcw)
-        inl = np.asarray(res.inliers)[:len(bound)]
+        Tcw_h, inl_h = jax.device_get((res.Tcw, res.inliers))
+        frame.Tcw = Tcw_h
+        inl = inl_h[:len(bound)]
         for j, i in enumerate(bound):
             if not inl[j]:
                 frame.mp_ids[i] = -1
@@ -206,7 +210,8 @@ class Relocalizer:
             jnp.asarray(frame.valid & (frame.mp_ids < 0)),
             jnp.asarray(frame.angle),
             jnp.asarray(self.scale_factors), th=th)
-        rvalid = np.asarray(res.valid)[:len(ids)]
-        ridx = np.asarray(res.idx)[:len(ids)]
+        res = res.host()
+        rvalid = res.valid[:len(ids)]
+        ridx = res.idx[:len(ids)]
         for j in np.where(rvalid)[0]:
             frame.mp_ids[ridx[j]] = fk.mp_ids[ids[j]]

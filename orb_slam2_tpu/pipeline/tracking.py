@@ -62,6 +62,39 @@ def _project_points(Tcw, pos, fx, fy, cx, cy):
     return uv, z
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "th"))
+def _match_last_fused(Tcw, pos, mp_valid, oct_, desc, ang,
+                      kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
+                      scale_factors, fx, fy, cx, cy, bounds, th):
+    """Projection + in-image gating + last-frame search in ONE jit
+    (each separate dispatch pays a tunnel round trip)."""
+    uv, z = _project_points(Tcw, pos, fx, fy, cx, cy)
+    minx, maxx, miny, maxy = bounds
+    in_img = ((z > 0) & (uv[:, 0] >= minx) & (uv[:, 0] < maxx)
+              & (uv[:, 1] >= miny) & (uv[:, 1] < maxy))
+    return search.search_by_projection_last_frame(
+        uv, oct_, desc, mp_valid & in_img, ang,
+        kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
+        scale_factors, th=th)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th"))
+def _frustum_search_fused(pos, normal, min_d, max_d, pvalid, desc,
+                          Tcw, kp_xy, kp_octave, kp_desc, kp_valid,
+                          kp_has_mp, scale_factors,
+                          fx, fy, cx, cy, bounds, n_levels, log_scale, th):
+    """isInFrustum + local-map projection search in ONE jit."""
+    fr = frustum.is_in_frustum(pos, normal, min_d, max_d, pvalid, Tcw,
+                               fx, fy, cx, cy, bounds, n_levels, log_scale)
+    r = search.search_by_projection_local_map(
+        fr.uv, fr.pred_level, fr.view_cos, desc, fr.visible,
+        kp_xy, kp_octave, kp_desc, kp_valid, kp_has_mp,
+        scale_factors, th=th)
+    return fr.visible, r
+
+
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "chi2"))
 def _reproj_chi2_gate(Tcw, pos, uv_obs, inv_sigma2, valid, fx, fy, cx, cy, chi2):
     """CheckMatchesByProjection (src/Tracking.cc:1108-1142): keep
@@ -173,6 +206,7 @@ class Tracker:
             jnp.asarray(f2.xy), jnp.asarray(f2.desc), jnp.asarray(f2.valid),
             jnp.asarray(f2.octave), jnp.asarray(f2.angle),
             window=self.cfg.init_match_window)
+        res = res.host()
         valid = np.asarray(res.valid)
         idx = np.asarray(res.idx)
         n_matches = int(valid.sum())
@@ -241,12 +275,14 @@ class Tracker:
             min_triangulated=self.cfg.init_min_triangulated)
         if not bool(res.ok):
             return  # keep the initial frame, try with the next image
-        good = np.asarray(res.good)[:len(rows)]
-        X = np.asarray(res.points)[:len(rows)]
+        ok_, R_, t_, X_, good_ = jax.device_get(
+            (res.ok, res.R, res.t, res.points, res.good))
+        good = good_[:len(rows)]
+        X = X_[:len(rows)]
         f1.Tcw = np.eye(4, dtype=np.float32)
         T2 = np.eye(4, dtype=np.float32)
-        T2[:3, :3] = np.asarray(res.R)
-        T2[:3, 3] = np.asarray(res.t)
+        T2[:3, :3] = R_
+        T2[:3, 3] = t_
         f2.Tcw = T2
         self._create_initial_map(f1, f2, rows[good], cols[good], X[good],
                                  estimated=True)
@@ -258,14 +294,15 @@ class Tracker:
         store = self.store
         k1 = store.add_keyframe(f1)
         k2 = store.add_keyframe(f2)
+        new_pids = []
         for r, c, x in zip(rows, cols, X):
             pid = store.add_point(
                 pos=x, desc=f2.desc[c], normal=np.array([0, 0, 1.0], np.float32),
                 min_dist=0.1, max_dist=100.0, first_kf=k2, first_frame=f2.frame_id)
             store.add_observation(pid, k1, int(r))
             store.add_observation(pid, k2, int(c))
-            store.update_point_descriptor(pid)
-            store.update_normal_and_depth(pid)
+            new_pids.append(pid)
+        store.update_points_batch(new_pids)
         store.update_connections(k1)
         store.update_connections(k2)
 
@@ -293,16 +330,13 @@ class Tracker:
                     self.on_reset()
                 return
             inv = 1.0 / med
-            for pid in range(store.n_points()):
-                if store.mp_valid[pid]:
-                    store.mp_pos[pid] = (store.mp_pos[pid] * inv).astype(np.float32)
+            live = np.where(np.asarray(store.mp_valid, bool))[0]
+            store.mp_pos[live] = store.mp_pos[live] * inv
             T2 = store.kfs[k2].Tcw.copy()
             T2[:3, 3] *= inv
             store.set_kf_pose(k2, T2)
             f2.Tcw = T2.copy()
-            for pid in range(store.n_points()):
-                if store.mp_valid[pid]:
-                    store.update_normal_and_depth(pid)
+            store.update_points_batch(live)
         self.ref_kf = k2
         self.last_kf_frame_id = f2.frame_id
         self.state = TrackState.OK
@@ -339,13 +373,13 @@ class Tracker:
             jnp.asarray(np.pad(np.array([True, False]), (0, 6),
                                constant_values=True)),
             fx, fy, cx, cy, iters=iters, cg_iters=20)
-        new_poses = np.asarray(res.cam_Tcw)
-        new_pts = np.asarray(res.points)
+        new_poses, new_pts, inl_all = jax.device_get(
+            (res.cam_Tcw, res.points, res.obs_inlier))
         store.set_kf_pose(k2, new_poses[1])
         store.kfs[k2].frame.Tcw = new_poses[1].copy()
         for j, p in enumerate(pids):
             store.mp_pos[p] = new_pts[j]
-        inl = np.asarray(res.obs_inlier)[:len(obs_kf)]
+        inl = inl_all[:len(obs_kf)]
         for o in np.where(~inl)[0]:
             kid, fi = meta[o]
             pid = pids[obs_pt[o]]
@@ -398,23 +432,17 @@ class Tracker:
         mp_valid[:len(ids)] = True
 
         fx, fy, cx, cy = self._cam_tuple
-        uv, z = _project_points(jnp.asarray(Tcw_pred), jnp.asarray(pos),
-                                fx, fy, cx, cy)
-        uv_np = np.asarray(uv)
-        in_img = ((np.asarray(z) > 0)
-                  & (uv_np[:, 0] >= self.bounds[0]) & (uv_np[:, 0] < self.bounds[1])
-                  & (uv_np[:, 1] >= self.bounds[2]) & (uv_np[:, 1] < self.bounds[3]))
-        mp_valid &= in_img
-
-        res = search.search_by_projection_last_frame(
-            uv, jnp.asarray(oct_), jnp.asarray(desc), jnp.asarray(mp_valid),
-            jnp.asarray(ang),
+        res = _match_last_fused(
+            jnp.asarray(Tcw_pred), jnp.asarray(pos), jnp.asarray(mp_valid),
+            jnp.asarray(oct_), jnp.asarray(desc), jnp.asarray(ang),
             jnp.asarray(frame.xy), jnp.asarray(frame.octave),
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
             jnp.asarray(frame.angle),
-            jnp.asarray(self.scale_factors), th=th)
-        rvalid = np.asarray(res.valid)[:len(ids)]
-        ridx = np.asarray(res.idx)[:len(ids)]
+            jnp.asarray(self.scale_factors),
+            fx, fy, cx, cy, self.bounds, th)
+        res = res.host()
+        rvalid = res.valid[:len(ids)]
+        ridx = res.idx[:len(ids)]
         sel = np.where(rvalid)[0]
         # mutual-best guarantees unique target features per row
         frame.mp_ids[ridx[sel]] = last.mp_ids[ids[sel]]
@@ -458,8 +486,9 @@ class Tracker:
             jnp.asarray(np.pad(self.inv_sigma2[frame.octave[bound]], (0, pad))),
             jnp.asarray(np.pad(np.ones(len(bound), bool), (0, pad))),
             fx, fy, cx, cy)
-        frame.Tcw = np.asarray(res.Tcw)
-        inl = np.asarray(res.inliers)[:len(bound)]
+        Tcw_h, inl = jax.device_get((res.Tcw, res.inliers))
+        frame.Tcw = Tcw_h
+        inl = inl[:len(bound)]
         frame.mp_outlier[:] = False
         for j, i in enumerate(bound):
             frame.mp_outlier[i] = not inl[j]
@@ -511,8 +540,9 @@ class Tracker:
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
             jnp.asarray(frame.angle), None,
             ratio=0.7)
-        rvalid = np.asarray(res.valid)[:len(ids)]
-        ridx = np.asarray(res.idx)[:len(ids)]
+        res = res.host()
+        rvalid = res.valid[:len(ids)]
+        ridx = res.idx[:len(ids)]
         n = 0
         for j in np.where(rvalid)[0]:
             frame.mp_ids[ridx[j]] = kf.mp_ids[ids[j]]
@@ -576,53 +606,51 @@ class Tracker:
         local_kfs = self._local_keyframes(frame)
         if not local_kfs:
             return False
-        bound = set(int(p) for p in frame.mp_ids if p >= 0)
-        local_mps = []
-        seen = set()
-        for kid in local_kfs:
-            for pid in self.store.kfs[kid].frame.mp_ids:
-                if pid >= 0 and pid not in seen and self.store.mp_valid[pid]:
-                    seen.add(pid)
-                    local_mps.append(pid)
-        if not local_mps:
+        allp = np.concatenate(
+            [self.store.kfs[k].frame.mp_ids for k in local_kfs])
+        uniq = np.unique(allp[allp >= 0])
+        if len(uniq) == 0:
+            return False
+        uniq = uniq[np.asarray(self.store.mp_valid[uniq.astype(np.int64)],
+                               bool)]
+        if len(uniq) == 0:
             return False
 
         # frustum + projection search over points not already bound
-        cand = [p for p in local_mps if p not in bound]
+        bound = frame.mp_ids[frame.mp_ids >= 0]
+        cand = np.setdiff1d(uniq, bound, assume_unique=False)
         n_matched_new = 0
-        if cand:
+        if len(cand):
             n = pad_bucket(len(cand))
             soa = self.store.points_soa(cand)
             pad = n - len(cand)
             fx, fy, cx, cy = self._cam_tuple
-            fr = frustum.is_in_frustum(
+            th = 3.0 if (frame.frame_id - self.last_reloc_frame_id
+                         < self.cfg.max_frames_between_kf) else 1.0
+            # ONE fused frustum + search dispatch, ONE batched read
+            vis_dev, res = _frustum_search_fused(
                 jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
                 jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
                 jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
                 jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
                 jnp.asarray(np.pad(soa["valid"], (0, pad))),
-                jnp.asarray(frame.Tcw), fx, fy, cx, cy, self.bounds,
-                self.cfg.orb.n_levels, self.log_scale)
-            visible = np.asarray(fr.visible)
+                jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
+                jnp.asarray(frame.Tcw),
+                jnp.asarray(frame.xy), jnp.asarray(frame.octave),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(frame.mp_ids >= 0),
+                jnp.asarray(self.scale_factors),
+                fx, fy, cx, cy, self.bounds,
+                self.cfg.orb.n_levels, self.log_scale, th)
+            visible, ridx, _, rvalid = jax.device_get(
+                (vis_dev, res.idx, res.dist, res.valid))
             vis_pids = np.asarray(cand, np.int64)[visible[:len(cand)]]
             if len(vis_pids):
                 self.store.mp_n_visible[vis_pids] = \
                     self.store.mp_n_visible[vis_pids] + 1
-
-            th = 3.0 if (frame.frame_id - self.last_reloc_frame_id
-                         < self.cfg.max_frames_between_kf) else 1.0
-            res = search.search_by_projection_local_map(
-                fr.uv, fr.pred_level, fr.view_cos,
-                jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
-                fr.visible,
-                jnp.asarray(frame.xy), jnp.asarray(frame.octave),
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-                jnp.asarray(frame.mp_ids >= 0),
-                jnp.asarray(self.scale_factors), th=th)
-            rvalid = np.asarray(res.valid)[:len(cand)]
-            ridx = np.asarray(res.idx)[:len(cand)]
-            sel = np.where(rvalid)[0]
-            frame.mp_ids[ridx[sel]] = np.asarray(cand, np.int32)[sel]
+            sel = np.where(rvalid[:len(cand)])[0]
+            frame.mp_ids[ridx[:len(cand)][sel]] = \
+                np.asarray(cand, np.int32)[sel]
             n_matched_new += len(sel)
 
         if self.cfg.pose_prior:
@@ -667,13 +695,14 @@ class Tracker:
     def _create_new_keyframe(self, frame: Frame):
         kid = self.store.add_keyframe(frame)
         # bind observations for the KF's tracked points
+        bound_pids = []
         for i, pid in enumerate(frame.mp_ids):
             if pid >= 0 and not frame.mp_outlier[i] and self.store.mp_valid[pid]:
                 self.store.add_observation(pid, kid, i)
-                self.store.update_point_descriptor(pid)
-                self.store.update_normal_and_depth(pid)
+                bound_pids.append(pid)
             elif pid >= 0:
                 frame.mp_ids[i] = -1
+        self.store.update_points_batch(bound_pids)
         self.store.update_connections(kid)
         self.ref_kf = kid
         self.last_kf_frame_id = frame.frame_id
