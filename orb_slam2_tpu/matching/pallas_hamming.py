@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: fused 256-bit Hamming distance + top-2 search.
+
+The workhorse of every ORB matcher is "for each query descriptor, find
+the best and second-best Hamming match" (src/ORBmatcher.cc:74-160 and
+friends).  The XLA path (matching/core.py) materializes the unpacked
+±1 operands and the full (N, M) distance matrix in HBM; this kernel
+tiles the computation on the MXU and keeps everything in VMEM:
+
+  per (128, 128) tile:  unpack both descriptor blocks to ±1 bf16 in
+  VMEM -> one 256-deep MXU matmul -> distances -> running top-2 merge
+  per query row.  The (N, M) matrix never exists in memory.
+
+HBM traffic drops from O(N*M) to O(N + M); for the 4000x4000 frame-
+match case that is 64 MB -> 250 KB.
+
+API: :func:`hamming_top2` returns (best_dist, best_idx, second_dist)
+per row.  Column-validity masking happens in-kernel; call it twice with
+swapped arguments for a mutual-best check.  Falls back to the XLA path
+off-TPU (and under ``interpret=True`` in tests).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1 << 20  # plain int: jnp scalars would be captured consts in the kernel
+TILE = 128
+
+
+def _unpack_word_pm1(block, w):
+    """Word ``w`` of a (T, 8) uint32 block -> (T, 32) bf16 in {-1, +1}.
+
+    Strictly 2-D: Mosaic cannot collapse a (T, 8, 32) -> (T, 256)
+    reshape, so the 256-deep contraction runs as 8 accumulating
+    32-deep MXU matmuls instead."""
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+    bits = (block[:, w][:, None] >> shifts) & jnp.uint32(1)
+    # Mosaic can't cast uint32 -> float directly; hop through int32
+    return bits.astype(jnp.int32).astype(jnp.float32) * 2 - 1
+
+
+def _kernel(d1_ref, d2_ref, v2_ref, best_ref, idx_ref, second_ref):
+    j = pl.program_id(1)
+
+    d1 = d1_ref[:]
+    d2 = d2_ref[:]
+    dot = jnp.zeros((d1.shape[0], d2.shape[0]), jnp.float32)
+    for w in range(8):
+        a = _unpack_word_pm1(d1, w)      # (T, 32)
+        b = _unpack_word_pm1(d2, w)
+        dot = dot + jax.lax.dot_general(
+            a, b.T, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    # keep distances in f32: Mosaic's argmin lowering supports f32 only
+    d = (256.0 - dot) * 0.5
+
+    # mask invalid columns (vectors travel as (1, 8, T) blocks: 1-D
+    # arrays clash with XLA's T(1024) layout and (1, T) blocks violate
+    # the sublane-divisibility rule, so row 0 of an 8-sublane block
+    # carries the payload)
+    v2 = v2_ref[0, 0, :]                  # (T,) int32
+    d = d + (1 - v2)[None, :].astype(jnp.float32) * float(BIG)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    local_arg = jnp.argmin(d, axis=1).astype(jnp.int32)
+    local_best = jnp.min(d, axis=1).astype(jnp.int32)
+    d2nd = jnp.where(cols == local_arg[:, None], float(BIG), d)
+    local_second = jnp.min(d2nd, axis=1).astype(jnp.int32)
+    local_gidx = local_arg + j * TILE
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[0, 0, :] = local_best
+        idx_ref[0, 0, :] = local_gidx
+        second_ref[0, 0, :] = local_second
+
+    @pl.when(j != 0)
+    def _():
+        b0 = best_ref[0, 0, :]
+        s0 = second_ref[0, 0, :]
+        i0 = idx_ref[0, 0, :]
+        nb = jnp.minimum(b0, local_best)
+        ns = jnp.minimum(jnp.maximum(b0, local_best),
+                         jnp.minimum(s0, local_second))
+        ni = jnp.where(local_best < b0, local_gidx, i0)
+        best_ref[0, 0, :] = nb
+        idx_ref[0, 0, :] = ni
+        second_ref[0, 0, :] = ns
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hamming_top2(desc1: jnp.ndarray, desc2: jnp.ndarray,
+                 valid2: jnp.ndarray, interpret: bool = False):
+    """Fused Hamming top-2: (N, 8) x (M, 8) uint32 + (M,) col validity
+    -> (best (N,), best_idx (N,), second (N,)).  N, M must be multiples
+    of 128 (callers already pad to power-of-4 buckets >= 256)."""
+    N, M = desc1.shape[0], desc2.shape[0]
+    assert N % TILE == 0 and M % TILE == 0, (N, M)
+    grid = (N // TILE, M // TILE)
+    v2 = jnp.broadcast_to(
+        valid2.astype(jnp.int32).reshape(M // TILE, 1, TILE),
+        (M // TILE, 8, TILE))
+    vec_spec = lambda which: pl.BlockSpec(
+        (1, 8, TILE), (lambda i, j: (j, 0, 0)) if which == "j"
+        else (lambda i, j: (i, 0, 0)), memory_space=pltpu.VMEM)
+    best, idx, second = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec("j"),
+        ],
+        out_specs=[vec_spec("i"), vec_spec("i"), vec_spec("i")],
+        out_shape=[
+            jax.ShapeDtypeStruct((N // TILE, 8, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((N // TILE, 8, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((N // TILE, 8, TILE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(desc1, desc2, v2)
+    return (best[:, 0, :].reshape(N), idx[:, 0, :].reshape(N),
+            second[:, 0, :].reshape(N))
+
+
+def hamming_top2_xla(desc1, desc2, valid2):
+    """Reference XLA implementation (oracle for tests / non-TPU path)."""
+    from . import core
+    d = core.hamming_matrix(desc1, desc2)
+    d = jnp.where(valid2[None, :], d, jnp.int32(BIG))
+    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best = jnp.min(d, axis=1)
+    cols = jnp.arange(d.shape[1])[None, :]
+    d2 = jnp.where(cols == best_idx[:, None], jnp.int32(BIG), d)
+    second = jnp.min(d2, axis=1)
+    return best, best_idx, second

@@ -34,12 +34,26 @@ class Frame:
     mp_ids: np.ndarray    # (N,) int32 — bound map point id, -1 if none
     mp_outlier: np.ndarray  # (N,) bool — flagged by pose optimization
 
+    # lazy device-resident copies of the immutable feature arrays:
+    # re-uploading the same 4000-row arrays on every search dispatch
+    # costs a host->device transfer each; these persist for the frame's
+    # lifetime (the fields are never mutated after construction —
+    # only mp_ids/mp_outlier are, and those stay host-side)
+    _dev: dict = field(default_factory=dict, repr=False, compare=False)
+
     @property
     def n(self) -> int:
         return self.xy.shape[0]
 
     def n_tracked(self) -> int:
         return int(((self.mp_ids >= 0) & ~self.mp_outlier).sum())
+
+    def dev(self, name: str):
+        arr = self._dev.get(name)
+        if arr is None:
+            arr = jnp.asarray(getattr(self, name))
+            self._dev[name] = arr
+        return arr
 
 
 class FrameFactory:
@@ -91,7 +105,7 @@ class FrameFactory:
             (und, feats.xy, feats.response, feats.angle, feats.octave,
              feats.desc, feats.valid))
         n = xy_h.shape[0]
-        return Frame(
+        out = Frame(
             frame_id=fid,
             timestamp=timestamp,
             xy=und_h,
@@ -105,3 +119,9 @@ class FrameFactory:
             mp_ids=np.full(n, -1, np.int32),
             mp_outlier=np.zeros(n, bool),
         )
+        # seed the device cache with the extractor's own outputs — the
+        # arrays are already on device, no re-upload ever happens
+        out._dev.update(xy=und, xy_raw=feats.xy, angle=feats.angle,
+                        octave=feats.octave, desc=feats.desc,
+                        valid=feats.valid)
+        return out

@@ -250,6 +250,8 @@ class LocalMapper:
         self.scale_factors = scale
         self.sigma2 = sigma2
         self.inv_sigma2 = (1.0 / sigma2).astype(np.float32)
+        self._j_scales = jnp.asarray(self.scale_factors.astype(np.float32))
+        self._j_sigma2 = jnp.asarray(self.sigma2.astype(np.float32))
         self.log_scale = float(np.log(cfg.orb.scale_factor))
 
     # ------------------------------------------------------------------
@@ -350,12 +352,12 @@ class LocalMapper:
             epi_s[b] = uv_e
 
         sidx, sdist, svalid = jax.device_get(_search_triangulation_stack(
-            jnp.asarray(f1.xy), jnp.asarray(f1.desc), jnp.asarray(unbound1),
-            jnp.asarray(f1.octave), jnp.asarray(f1.angle),
+            f1.dev("xy"), f1.dev("desc"), jnp.asarray(unbound1),
+            f1.dev("octave"), f1.dev("angle"),
             jnp.asarray(xy2), jnp.asarray(desc2), jnp.asarray(valid2),
             jnp.asarray(oct2), jnp.asarray(ang2),
             jnp.asarray(F12_s), jnp.asarray(epi_s),
-            jnp.asarray(self.sigma2), jnp.asarray(self.scale_factors)))
+            self._j_sigma2, self._j_scales))
 
         # --- collect candidate pairs (first neighbor wins per row) ---
         rows_all, cols_all, nb_all = [], [], []
@@ -529,7 +531,7 @@ class LocalMapper:
             jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
             jnp.asarray(Tcw_s), jnp.asarray(kxy), jnp.asarray(koct),
             jnp.asarray(kdesc), jnp.asarray(kvalid),
-            jnp.asarray(self.scale_factors.astype(np.float32)),
+            self._j_scales,
             fx, fy, cx, cy, bounds, cfg.orb.n_levels, self.log_scale,
             th=3.0, ratio=1.0))
         for b, t in enumerate(target_kids):

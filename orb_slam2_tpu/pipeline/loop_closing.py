@@ -69,6 +69,7 @@ class LoopCloser:
         self.sigma2 = level_sigma2(cfg.orb)
         self.scale_factors = pyramid.scale_factors(
             cfg.orb.n_levels, cfg.orb.scale_factor)[0].astype(np.float32)
+        self._j_scales = jnp.asarray(self.scale_factors)
         self.log_scale = float(np.log(cfg.orb.scale_factor))
         self._rng = np.random.default_rng(0)
 
@@ -234,15 +235,15 @@ class LoopCloser:
             for i in idx_cand:
                 md2[i] = store.mp_max_dist[fc.mp_ids[i]]
             sres = search.search_by_sim3(
-                jnp.asarray(pc1_all), jnp.asarray(fcur.desc),
+                jnp.asarray(pc1_all), fcur.dev("desc"),
                 jnp.asarray(mv1), jnp.asarray(md1),
-                jnp.asarray(fcur.xy), jnp.asarray(fcur.octave),
-                jnp.asarray(fcur.valid),
-                jnp.asarray(pc2_all), jnp.asarray(fc.desc),
+                fcur.dev("xy"), fcur.dev("octave"),
+                fcur.dev("valid"),
+                jnp.asarray(pc2_all), fc.dev("desc"),
                 jnp.asarray(mv2), jnp.asarray(md2),
-                jnp.asarray(fc.xy), jnp.asarray(fc.octave),
-                jnp.asarray(fc.valid),
-                jnp.asarray(S12), jnp.asarray(self.scale_factors),
+                fc.dev("xy"), fc.dev("octave"),
+                fc.dev("valid"),
+                jnp.asarray(S12), self._j_scales,
                 fx, fy, cx, cy, self.bounds,
                 self.cfg.orb.n_levels, self.log_scale, th=7.5)
             sres = sres.host()
@@ -327,10 +328,10 @@ class LoopCloser:
             jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
             jnp.asarray(np.pad(soa["valid"], (0, pad))),
             jnp.asarray(Scw),
-            jnp.asarray(f.xy), jnp.asarray(f.octave),
-            jnp.asarray(f.desc), jnp.asarray(f.valid),
+            f.dev("xy"), f.dev("octave"),
+            f.dev("desc"), f.dev("valid"),
             jnp.asarray(already),
-            jnp.asarray(self.scale_factors),
+            self._j_scales,
             fx, fy, cx, cy, self.bounds,
             self.cfg.orb.n_levels, self.log_scale, th=10.0)
         res = res.host()
@@ -453,10 +454,10 @@ class LoopCloser:
             jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
             jnp.asarray(np.pad(soa["valid"], (0, pad))),
             jnp.asarray(S_gw),
-            jnp.asarray(f.xy), jnp.asarray(f.octave),
-            jnp.asarray(f.desc), jnp.asarray(f.valid),
+            f.dev("xy"), f.dev("octave"),
+            f.dev("desc"), f.dev("valid"),
             jnp.asarray(np.zeros(f.n, bool)),  # bound features allowed
-            jnp.asarray(self.scale_factors),
+            self._j_scales,
             fx, fy, cx, cy, self.bounds,
             self.cfg.orb.n_levels, self.log_scale, th=4.0)
         res = res.host()

@@ -46,6 +46,7 @@ class Relocalizer:
         self.inv_sigma2 = (1.0 / self.sigma2).astype(np.float32)
         self.scale_factors = pyramid.scale_factors(
             cfg.orb.n_levels, cfg.orb.scale_factor)[0].astype(np.float32)
+        self._j_scales = jnp.asarray(self.scale_factors)
         self._rng = np.random.default_rng(1)
 
     # ------------------------------------------------------------------
@@ -80,8 +81,8 @@ class Relocalizer:
             jnp.asarray(np.pad(fk.desc[ids], ((0, pad), (0, 0)))),
             jnp.asarray(v),
             jnp.asarray(np.pad(fk.angle[ids], (0, pad))), None,
-            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            jnp.asarray(frame.angle), None,
+            frame.dev("desc"), frame.dev("valid"),
+            frame.dev("angle"), None,
             ratio=0.75)
         res = res.host()
         rvalid = res.valid[:len(ids)]
@@ -205,11 +206,11 @@ class Relocalizer:
             jnp.asarray(np.pad(fk.desc[ids], ((0, pad), (0, 0)))),
             jnp.asarray(mp_valid),
             jnp.asarray(np.pad(fk.angle[ids], (0, pad))),
-            jnp.asarray(frame.xy), jnp.asarray(frame.octave),
-            jnp.asarray(frame.desc),
+            frame.dev("xy"), frame.dev("octave"),
+            frame.dev("desc"),
             jnp.asarray(frame.valid & (frame.mp_ids < 0)),
-            jnp.asarray(frame.angle),
-            jnp.asarray(self.scale_factors), th=th)
+            frame.dev("angle"),
+            self._j_scales, th=th)
         res = res.host()
         rvalid = res.valid[:len(ids)]
         ridx = res.idx[:len(ids)]

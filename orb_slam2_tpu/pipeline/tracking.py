@@ -134,6 +134,8 @@ class Tracker:
         self.bounds = undistorted_bounds(cam)
         self.scale_factors = np.asarray(factory.scale_factors, np.float32)
         self.inv_sigma2 = np.asarray(factory.inv_sigma2, np.float32)
+        # constants uploaded once, reused across every dispatch
+        self._j_scales = jnp.asarray(self.scale_factors)
         self.log_scale = float(np.log(config.orb.scale_factor))
 
     # ------------------------------------------------------------------
@@ -201,10 +203,10 @@ class Tracker:
 
         f1, f2 = self.init_frame, frame
         res = search.search_for_initialization(
-            jnp.asarray(f1.xy), jnp.asarray(f1.desc), jnp.asarray(f1.valid),
-            jnp.asarray(f1.octave), jnp.asarray(f1.angle),
-            jnp.asarray(f2.xy), jnp.asarray(f2.desc), jnp.asarray(f2.valid),
-            jnp.asarray(f2.octave), jnp.asarray(f2.angle),
+            f1.dev("xy"), f1.dev("desc"), f1.dev("valid"),
+            f1.dev("octave"), f1.dev("angle"),
+            f2.dev("xy"), f2.dev("desc"), f2.dev("valid"),
+            f2.dev("octave"), f2.dev("angle"),
             window=self.cfg.init_match_window)
         res = res.host()
         valid = np.asarray(res.valid)
@@ -435,10 +437,10 @@ class Tracker:
         res = _match_last_fused(
             jnp.asarray(Tcw_pred), jnp.asarray(pos), jnp.asarray(mp_valid),
             jnp.asarray(oct_), jnp.asarray(desc), jnp.asarray(ang),
-            jnp.asarray(frame.xy), jnp.asarray(frame.octave),
-            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            jnp.asarray(frame.angle),
-            jnp.asarray(self.scale_factors),
+            frame.dev("xy"), frame.dev("octave"),
+            frame.dev("desc"), frame.dev("valid"),
+            frame.dev("angle"),
+            self._j_scales,
             fx, fy, cx, cy, self.bounds, th)
         res = res.host()
         rvalid = res.valid[:len(ids)]
@@ -537,8 +539,8 @@ class Tracker:
             jnp.asarray(np.pad(kf.desc[ids], ((0, pad), (0, 0)))),
             jnp.asarray(valid_rows),
             jnp.asarray(np.pad(kf.angle[ids], (0, pad))), None,
-            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            jnp.asarray(frame.angle), None,
+            frame.dev("desc"), frame.dev("valid"),
+            frame.dev("angle"), None,
             ratio=0.7)
         res = res.host()
         rvalid = res.valid[:len(ids)]
@@ -636,10 +638,10 @@ class Tracker:
                 jnp.asarray(np.pad(soa["valid"], (0, pad))),
                 jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
                 jnp.asarray(frame.Tcw),
-                jnp.asarray(frame.xy), jnp.asarray(frame.octave),
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                frame.dev("xy"), frame.dev("octave"),
+                frame.dev("desc"), frame.dev("valid"),
                 jnp.asarray(frame.mp_ids >= 0),
-                jnp.asarray(self.scale_factors),
+                self._j_scales,
                 fx, fy, cx, cy, self.bounds,
                 self.cfg.orb.n_levels, self.log_scale, th)
             visible, ridx, _, rvalid = jax.device_get(
