@@ -22,6 +22,9 @@ from ..models.mapstore import MapStore
 from ..optim import points_opt, ba
 from .config import SlamConfig
 from .tracking import pad_bucket, _project_points
+from ..utils.logging import get_logger, StageTimer
+
+log = get_logger("local_mapping")
 
 
 def compute_F12(T1: np.ndarray, T2: np.ndarray, K: np.ndarray) -> np.ndarray:
@@ -243,6 +246,7 @@ class LocalMapper:
         self.cfg = cfg
         self.store = store
         self.recent_points: List[int] = []
+        self.timer = StageTimer()
         self.on_keyframe_processed = None  # wired to loop closing
         scale, _, sigma2, _ = __import__(
             "orb_slam2_tpu.ops.pyramid", fromlist=["scale_factors"]
@@ -258,16 +262,28 @@ class LocalMapper:
     def process_keyframe(self, kid: int):
         """One LocalMapping::Run iteration (src/LocalMapping.cc:78-158)."""
         store = self.store
-        self._cull_map_points(kid)
-        self._create_new_map_points(kid)
-        self._fuse_neighbors(kid)
+        n0 = store.n_valid_points()
+        with self.timer.time("mapping/cull_points"):
+            self._cull_map_points(kid)
+        with self.timer.time("mapping/triangulate"):
+            self._create_new_map_points(kid)
+        n1 = store.n_valid_points()
+        with self.timer.time("mapping/fuse"):
+            self._fuse_neighbors(kid)
         if store.n_valid_keyframes() > 2:
-            run_local_ba(store, kid, self.cfg,
-                         fixed_pose=self.cfg.pose_prior,
-                         iters=self.cfg.local_ba_iters)
-        self._cull_keyframes(kid)
+            with self.timer.time("mapping/local_ba"):
+                run_local_ba(store, kid, self.cfg,
+                             fixed_pose=self.cfg.pose_prior,
+                             iters=self.cfg.local_ba_iters)
+        with self.timer.time("mapping/cull_keyframes"):
+            self._cull_keyframes(kid)
+        # glog-equivalent of src/LocalMapping.cc:101-103
+        log.info("KF %d: +%d map points (total %d), %d keyframes",
+                 kid, n1 - n0, store.n_valid_points(),
+                 store.n_valid_keyframes())
         if self.on_keyframe_processed:
-            self.on_keyframe_processed(kid)
+            with self.timer.time("mapping/loop_closing"):
+                self.on_keyframe_processed(kid)
 
     # ------------------------------------------------------------------
     def _cull_map_points(self, kid: int):

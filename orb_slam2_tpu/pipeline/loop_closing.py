@@ -31,6 +31,9 @@ from .config import SlamConfig
 from .place_recognition import PlaceRecognition
 from .tracking import pad_bucket
 from .local_mapping import gather_ba_problem
+from ..utils.logging import get_logger
+
+log = get_logger("loop_closing")
 
 
 def _sim3_from_se3(T: np.ndarray, s: float = 1.0) -> np.ndarray:
@@ -89,7 +92,12 @@ class LoopCloser:
         if found is None:
             return False
         loop_kf, Scw, loop_mps, matched = found
+        # glog-equivalent of src/LoopClosing.cc:473
+        log.info("LOOP detected: KF %d <-> KF %d (%d matched points)",
+                 kid, loop_kf, len(matched))
         self._correct_loop(kid, loop_kf, Scw, loop_mps, matched)
+        log.info("loop corrected + essential graph + GBA done (loop #%d)",
+                 self.n_loops_closed + 1)
         self.last_loop_kf_id = kid
         self.n_loops_closed += 1
         return True

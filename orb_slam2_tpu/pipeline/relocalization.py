@@ -30,6 +30,9 @@ from ..optim import pnp, pose_opt
 from .config import SlamConfig
 from .place_recognition import PlaceRecognition
 from .tracking import pad_bucket
+from ..utils.logging import get_logger
+
+log = get_logger("relocalization")
 
 
 class Relocalizer:
@@ -117,6 +120,8 @@ class Relocalizer:
                 frame.mp_ids[:] = -1
                 for j in np.where(good)[0]:
                     frame.mp_ids[feat_fr[j]] = pids[j]
+                log.info("relocalized frame %d against KF %d (%d good)",
+                         frame.frame_id, kid, int(good.sum()))
                 return True
 
             # --- estimated mode: EPnP + RANSAC ---
@@ -149,6 +154,8 @@ class Relocalizer:
                 self._project_kf_points(kid, frame, th=10.0)
                 good = self._pose_optimize(frame)
             if good >= self.cfg.track_local_min_inliers_reloc:
+                log.info("relocalized frame %d against KF %d via EPnP "
+                         "(%d inliers)", frame.frame_id, kid, good)
                 return True
         return False
 

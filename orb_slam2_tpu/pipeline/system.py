@@ -123,6 +123,16 @@ class System:
     def state(self) -> TrackState:
         return self.tracker.state
 
+    def timing_report(self) -> str:
+        """Per-stage wall-clock summary (tracking + mapping timers)."""
+        out = []
+        for name, timer in (("tracker", self.tracker.timer),
+                            ("mapper", self.mapper.timer)):
+            s = timer.summary()
+            if s:
+                out.append(f"[{name}]\n{s}")
+        return "\n".join(out)
+
     # ------------------------------------------------------------------
     def keyframe_trajectory(self):
         """(kid, Tcw) for valid keyframes."""

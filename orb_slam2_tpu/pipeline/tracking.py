@@ -30,6 +30,9 @@ from ..models.mapstore import MapStore
 from ..optim import pose_opt
 from ..geom import triangulate
 from .config import SlamConfig
+from ..utils.logging import get_logger, StageTimer
+
+log = get_logger("tracking")
 
 
 class TrackState(enum.Enum):
@@ -128,6 +131,7 @@ class Tracker:
         self.on_reset: Optional[Callable[[], None]] = None
         self.relocalize: Optional[Callable[[Frame], bool]] = None
 
+        self.timer = StageTimer()
         cam = config.cam
         self._cam_tuple = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
         from ..geom.camera import undistorted_bounds
@@ -145,8 +149,9 @@ class Tracker:
         (src/Tracking.cc:194-356) merged with upstream GrabImageMonocular."""
         init_mode = self.state in (TrackState.NO_IMAGES_YET,
                                    TrackState.NOT_INITIALIZED)
-        frame = self.factory.make(image, timestamp,
-                                  Tcw=pose_prior, init_mode=init_mode)
+        with self.timer.time("track/extract"):
+            frame = self.factory.make(image, timestamp,
+                                      Tcw=pose_prior, init_mode=init_mode)
 
         if init_mode:
             self._initialize(frame, pose_prior)
@@ -169,7 +174,8 @@ class Tracker:
             ok = self._do_relocalize(frame)
 
         if ok:
-            ok = self._track_local_map(frame)
+            with self.timer.time("track/local_map"):
+                ok = self._track_local_map(frame)
 
         if ok:
             self.state = TrackState.OK
@@ -183,6 +189,10 @@ class Tracker:
             if self.store.n_valid_keyframes() <= 5 and self.on_reset:
                 self.on_reset()
 
+        # per-frame glog-equivalent (src/Tracking.cc:654-656)
+        log.info("frame %d: state=%s inliers=%d tracked=%d",
+                 frame.frame_id, self.state.name, self.matches_inliers,
+                 frame.n_tracked())
         self.last_frame = frame
         return frame
 
