@@ -63,9 +63,14 @@ def main():
 
     t0 = time.perf_counter()
     n_ok = 0
+    sys_.prefetch(frames[n_warm])
     for i in range(n_warm, n_warm + n_meas):
         t1 = time.perf_counter()
         f = sys_.track_monocular_with_pose(frames[i], i * 0.1, poses[i])
+        # extraction of frame i+1 overlaps the tail of frame i's host
+        # work and the inter-frame gap
+        if i + 1 < n_warm + n_meas:
+            sys_.prefetch(frames[i + 1])
         log(f"frame {i}: {time.perf_counter() - t1 :.2f}s")
         if sys_.state == TrackState.OK:
             n_ok += 1

@@ -91,11 +91,23 @@ class FrameFactory:
 
         return run
 
-    def make(self, image: np.ndarray, timestamp: float = 0.0,
-             Tcw: np.ndarray | None = None, init_mode: bool = False) -> Frame:
-        """image: (H, W) uint8/float32 grayscale."""
+    def start(self, image: np.ndarray, init_mode: bool = False):
+        """Dispatch extraction asynchronously (JAX queues the work and
+        returns immediately).  Pair with :meth:`make` via ``started=`` —
+        lets a pipeline extract frame t+1 while frame t is processed on
+        the host."""
         img = jnp.asarray(np.asarray(image, dtype=np.float32))
         feats, und = self._pipeline(img.shape[0], img.shape[1], init_mode)(img)
+        return (feats, und, init_mode)
+
+    def make(self, image: np.ndarray, timestamp: float = 0.0,
+             Tcw: np.ndarray | None = None, init_mode: bool = False,
+             started=None) -> Frame:
+        """image: (H, W) uint8/float32 grayscale."""
+        if started is not None and started[2] == init_mode:
+            feats, und, _ = started
+        else:
+            feats, und, _ = self.start(image, init_mode)
         fid = self._next_id
         self._next_id += 1
         # ONE batched device->host transfer for all outputs: each

@@ -84,30 +84,40 @@ def _search_triangulation_stack(xy1, desc1, valid1, octave1, angle1,
 
 
 def gather_ba_problem(store: MapStore, kf_ids: List[int], inv_sigma2):
-    """Build flat observation arrays for the given keyframes.
+    """Build flat observation arrays for the given keyframes — fully
+    vectorized per keyframe (the per-feature Python loop cost ~100 ms
+    per keyframe at reference scale).
 
-    Returns (pids, obs_kf_local, obs_pt_local, obs_feat, obs_uv,
-    obs_isig2) — the padded-array BA input."""
-    pid_set = {}
-    obs = []
+    Returns (pids, (obs_kf_local, obs_pt_local, obs_uv, obs_isig2,
+    (meta_kid, meta_fi))) — the padded-array BA input."""
+    li_parts, pid_parts, fi_parts, uv_parts, sig_parts, kid_parts = \
+        [], [], [], [], [], []
     for li, kid in enumerate(kf_ids):
         fr = store.kfs[kid].frame
-        for fi, pid in enumerate(fr.mp_ids):
-            if pid >= 0 and store.mp_valid[pid]:
-                if pid not in pid_set:
-                    pid_set[pid] = len(pid_set)
-                obs.append((li, pid_set[pid], kid, fi))
-    pids = list(pid_set.keys())
-    if not obs:
-        return pids, None
-    obs_kf = np.array([o[0] for o in obs], np.int32)
-    obs_pt = np.array([o[1] for o in obs], np.int32)
-    obs_uv = np.stack([store.kfs[o[2]].frame.xy[o[3]] for o in obs])
-    obs_sig = np.array(
-        [inv_sigma2[store.kfs[o[2]].frame.octave[o[3]]] for o in obs],
-        np.float32)
-    meta = [(o[2], o[3]) for o in obs]  # (kid, feat) per obs for writeback
-    return pids, (obs_kf, obs_pt, obs_uv, obs_sig, meta)
+        fi = np.where(fr.mp_ids >= 0)[0]
+        if len(fi) == 0:
+            continue
+        pids_k = fr.mp_ids[fi].astype(np.int64)
+        live = np.asarray(store.mp_valid[pids_k], bool)
+        fi, pids_k = fi[live], pids_k[live]
+        if len(fi) == 0:
+            continue
+        li_parts.append(np.full(len(fi), li, np.int32))
+        pid_parts.append(pids_k)
+        fi_parts.append(fi)
+        kid_parts.append(np.full(len(fi), kid, np.int64))
+        uv_parts.append(fr.xy[fi])
+        sig_parts.append(inv_sigma2[fr.octave[fi]])
+    if not pid_parts:
+        return [], None
+    all_pids = np.concatenate(pid_parts)
+    uniq, inv = np.unique(all_pids, return_inverse=True)
+    obs_kf = np.concatenate(li_parts)
+    obs_pt = inv.astype(np.int32)
+    obs_uv = np.concatenate(uv_parts).astype(np.float32)
+    obs_sig = np.concatenate(sig_parts).astype(np.float32)
+    meta = (np.concatenate(kid_parts), np.concatenate(fi_parts))
+    return [int(p) for p in uniq], (obs_kf, obs_pt, obs_uv, obs_sig, meta)
 
 
 def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
@@ -145,11 +155,11 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
         store.mp_pos[p] = new_pts[j]
     # erase outlier observations (the reference's post-BA edge removal,
     # src/Optimizer.cc:560-600)
+    meta_kid, meta_fi = meta
     for o in np.where(~inl)[0]:
-        kid, fi = meta[o]
         pid = pids[obs_pt[o]]
         if store.mp_valid[pid]:
-            store.erase_observation(pid, kid)
+            store.erase_observation(pid, int(meta_kid[o]))
     store.update_points_batch(pids)
 
 
@@ -619,22 +629,36 @@ class LocalMapper:
             if cand == 0 or not store.kfs[cand].valid:
                 continue
             f = store.kfs[cand].frame
-            n_pts = 0
-            n_redundant = 0
-            for fi, pid in enumerate(f.mp_ids):
-                if pid < 0 or not store.mp_valid[pid]:
-                    continue
-                n_pts += 1
-                level = int(f.octave[fi])
-                n_obs_fine = 0
-                for okid, ofi in store.mp_obs[pid].items():
-                    if okid == cand:
-                        continue
-                    if int(store.kfs[okid].frame.octave[ofi]) <= level + 1:
-                        n_obs_fine += 1
-                        if n_obs_fine >= 3:
-                            break
-                if n_obs_fine >= 3:
-                    n_redundant += 1
-            if n_pts > 0 and n_redundant > self.cfg.kf_cull_redundancy * n_pts:
+            fi = np.where(f.mp_ids >= 0)[0]
+            if len(fi) == 0:
+                continue
+            pids = f.mp_ids[fi].astype(np.int64)
+            live = np.asarray(store.mp_valid[pids], bool)
+            fi, pids = fi[live], pids[live]
+            n_pts = len(fi)
+            if n_pts == 0:
+                continue
+            levels = f.octave[fi]
+            # flatten all other observations, then vectorize the
+            # octave comparison (grouped gathers per observing KF)
+            obs_k, obs_f, obs_l = [], [], []
+            for li, p in enumerate(pids):
+                for okid, ofi in store.mp_obs[p].items():
+                    if okid != cand:
+                        obs_k.append(okid)
+                        obs_f.append(ofi)
+                        obs_l.append(li)
+            if not obs_k:
+                continue
+            obs_k = np.asarray(obs_k)
+            obs_f = np.asarray(obs_f)
+            obs_l = np.asarray(obs_l)
+            octs = np.empty(len(obs_k), np.int32)
+            for k in np.unique(obs_k):
+                m = obs_k == k
+                octs[m] = store.kfs[k].frame.octave[obs_f[m]]
+            fine = octs <= levels[obs_l] + 1
+            cnt = np.bincount(obs_l[fine], minlength=n_pts)
+            n_redundant = int((cnt >= 3).sum())
+            if n_redundant > self.cfg.kf_cull_redundancy * n_pts:
                 store.erase_keyframe(cand)

@@ -65,11 +65,29 @@ class System:
     def _on_new_keyframe(self, kid: int):
         self.mapper.process_keyframe(kid)
 
+    def prefetch(self, image) -> None:
+        """Dispatch ORB extraction for the NEXT frame asynchronously;
+        the following track_* call consumes it.  Overlaps device
+        extraction with host-side map bookkeeping of the current frame
+        (a capability the reference gets from its tracking/mapping
+        threads; here it is explicit and deterministic)."""
+        init_mode = self.tracker.state in (TrackState.NO_IMAGES_YET,
+                                           TrackState.NOT_INITIALIZED)
+        self._prefetched = (self.tracker.factory.start(
+            image, init_mode=init_mode))
+
+    def _take_prefetch(self):
+        p = getattr(self, "_prefetched", None)
+        self._prefetched = None
+        return p
+
     def track_monocular_with_pose(self, image, timestamp: float,
                                   Tcw: np.ndarray) -> Frame:
         """System::TrackMonocularWithPose (src/System.cc:237-258)."""
         self._last_image = np.asarray(image)
-        frame = self.tracker.track(image, timestamp, pose_prior=np.asarray(Tcw, np.float32))
+        frame = self.tracker.track(image, timestamp,
+                                   pose_prior=np.asarray(Tcw, np.float32),
+                                   started=self._take_prefetch())
         self._record(frame)
         return frame
 
@@ -83,7 +101,8 @@ class System:
         if self.tracker.state in (TrackState.NO_IMAGES_YET,
                                   TrackState.NOT_INITIALIZED):
             hint = None if pose_hint is None else np.asarray(pose_hint, np.float32)
-        frame = self.tracker.track(image, timestamp, pose_prior=hint)
+        frame = self.tracker.track(image, timestamp, pose_prior=hint,
+                                   started=self._take_prefetch())
         self._record(frame)
         return frame
 

@@ -144,14 +144,16 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def track(self, image: np.ndarray, timestamp: float = 0.0,
-              pose_prior: Optional[np.ndarray] = None) -> Frame:
+              pose_prior: Optional[np.ndarray] = None,
+              started=None) -> Frame:
         """Process one frame — Tracking::trackImageWithPose
         (src/Tracking.cc:194-356) merged with upstream GrabImageMonocular."""
         init_mode = self.state in (TrackState.NO_IMAGES_YET,
                                    TrackState.NOT_INITIALIZED)
         with self.timer.time("track/extract"):
             frame = self.factory.make(image, timestamp,
-                                      Tcw=pose_prior, init_mode=init_mode)
+                                      Tcw=pose_prior, init_mode=init_mode,
+                                      started=started)
 
         if init_mode:
             self._initialize(frame, pose_prior)
@@ -392,11 +394,11 @@ class Tracker:
         for j, p in enumerate(pids):
             store.mp_pos[p] = new_pts[j]
         inl = inl_all[:len(obs_kf)]
+        meta_kid, meta_fi = meta
         for o in np.where(~inl)[0]:
-            kid, fi = meta[o]
             pid = pids[obs_pt[o]]
             if store.mp_valid[pid]:
-                store.erase_observation(pid, kid)
+                store.erase_observation(pid, int(meta_kid[o]))
 
     # ------------------------------------------------------------------
     # frame-to-frame tracking
