@@ -9,3 +9,4 @@ replicated (its matvecs are obs-parallel too, riding ICI collectives).
 """
 from .dist_ba import distributed_bundle_adjust, make_mesh  # noqa: F401
 from .dist_pose_graph import distributed_pose_graph  # noqa: F401
+from .multihost import init_multihost, make_global_mesh  # noqa: F401

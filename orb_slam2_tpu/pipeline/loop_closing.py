@@ -613,7 +613,11 @@ class LoopCloser:
         reference's post-loop GBA, src/LoopClosing.cc:764-768).  Our
         pipeline is synchronous so no keyframes are created mid-GBA and
         the spanning-tree propagation (src/LoopClosing.cc:807-884)
-        reduces to a direct writeback."""
+        reduces to a direct writeback.
+
+        On a multi-device runtime the observation list automatically
+        shards over all local devices (parallel/dist_ba) — GBA is the
+        one solve whose cost grows with the whole map."""
         store = self.store
         kids = store.valid_kf_ids()
         if len(kids) < 2:
@@ -635,18 +639,30 @@ class LoopCloser:
         fx, fy, cx, cy = self._cam_tuple
         eye = np.broadcast_to(np.eye(4, dtype=np.float32),
                               (Kp - len(kids), 4, 4))
-        res = ba.bundle_adjust(
-            jnp.asarray(np.concatenate([poses, eye])),
-            jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
-            jnp.asarray(np.pad(obs_kf, (0, O - len(obs_kf)))),
-            jnp.asarray(np.pad(obs_pt, (0, O - len(obs_kf)))),
-            jnp.asarray(np.pad(obs_uv, ((0, O - len(obs_kf)), (0, 0)))),
-            jnp.asarray(np.pad(obs_sig, (0, O - len(obs_kf)))),
-            jnp.asarray(np.pad(np.ones(len(obs_kf), bool),
-                               (0, O - len(obs_kf)))),
-            jnp.asarray(np.pad(fixed, (0, Kp - len(kids)),
-                               constant_values=True)),
-            fx, fy, cx, cy, iters=iters, cg_iters=30, use_huber=False)
+        import jax as _jax
+        if len(_jax.devices()) > 1:
+            from ..parallel import distributed_bundle_adjust, make_mesh
+            res = distributed_bundle_adjust(
+                make_mesh(),
+                np.concatenate([poses, eye]),
+                np.pad(points0, ((0, P - len(pids)), (0, 0))),
+                obs_kf, obs_pt, obs_uv, obs_sig,
+                np.ones(len(obs_kf), bool),
+                np.pad(fixed, (0, Kp - len(kids)), constant_values=True),
+                fx, fy, cx, cy, iters=iters, cg_iters=30, use_huber=False)
+        else:
+            res = ba.bundle_adjust(
+                jnp.asarray(np.concatenate([poses, eye])),
+                jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
+                jnp.asarray(np.pad(obs_kf, (0, O - len(obs_kf)))),
+                jnp.asarray(np.pad(obs_pt, (0, O - len(obs_kf)))),
+                jnp.asarray(np.pad(obs_uv, ((0, O - len(obs_kf)), (0, 0)))),
+                jnp.asarray(np.pad(obs_sig, (0, O - len(obs_kf)))),
+                jnp.asarray(np.pad(np.ones(len(obs_kf), bool),
+                                   (0, O - len(obs_kf)))),
+                jnp.asarray(np.pad(fixed, (0, Kp - len(kids)),
+                                   constant_values=True)),
+                fx, fy, cx, cy, iters=iters, cg_iters=30, use_huber=False)
         new_poses, new_pts = jax.device_get((res.cam_Tcw, res.points))
         for i, k in enumerate(kids):
             if not fixed[i]:

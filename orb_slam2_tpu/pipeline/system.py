@@ -142,6 +142,14 @@ class System:
     def state(self) -> TrackState:
         return self.tracker.state
 
+    def shutdown(self):
+        """System::Shutdown (src/System.cc:173-192).  The reference
+        joins its LocalMapping/LoopClosing/Viewer threads; the
+        synchronous pipeline has nothing to join — provided for API
+        parity, and it blocks until any queued device work drains."""
+        import jax
+        jax.effects_barrier()
+
     def timing_report(self) -> str:
         """Per-stage wall-clock summary (tracking + mapping timers)."""
         out = []
