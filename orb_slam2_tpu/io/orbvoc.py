@@ -54,6 +54,59 @@ def load_orbvoc_binary(path: str) -> Vocabulary:
     desc8[1:] = rec["desc"].view("<u4").reshape(n_rec, 8)
     weight = np.concatenate([[0.0], rec["weight"].astype(np.float64)])
     is_leaf = np.concatenate([[False], rec["leaf"].astype(bool)])
+    return _build_vocab(k, L, parent, desc8, weight, is_leaf, n_rec)
+
+
+def load_orbvoc_text(path: str) -> Vocabulary:
+    """Parse the DBoW2 TEXT vocabulary format (saveToTextFile,
+    TemplatedVocabulary.h:1548-1574) — the format upstream ORB-SLAM2
+    ships as ORBvoc.txt: a header line ``k L scoring weighting`` then
+    one node per line ``parent is_leaf d0..d31 weight`` in node order."""
+    with open(path) as f:
+        head = f.readline().split()
+        k, L = int(head[0]), int(head[1])
+        rows = np.loadtxt(f, dtype=np.float64)
+    n_rec = len(rows)
+    parent = np.concatenate([[-1], rows[:, 0].astype(np.int64)])
+    is_leaf = np.concatenate([[False], rows[:, 1].astype(bool)])
+    desc_u8 = rows[:, 2:34].astype(np.uint8)
+    desc8 = np.zeros((n_rec + 1, 8), np.uint32)
+    desc8[1:] = np.ascontiguousarray(desc_u8).view("<u4").reshape(n_rec, 8)
+    weight = np.concatenate([[0.0], rows[:, 34]])
+    return _build_vocab(k, L, parent, desc8, weight, is_leaf, n_rec)
+
+
+def save_orbvoc_binary(voc: Vocabulary, path: str):
+    """Write our complete level-block vocabulary in the DBoW2 BINARY
+    format (saveToBinaryFile layout) so reference tooling can load it."""
+    import struct
+    records = []
+    # node ids: level by level; parent of slot s at depth d is the node
+    # of slot s//k at depth d-1
+    id_of = [np.zeros(1, np.int64)]  # depth 0: root id 0
+    next_id = 1
+    for d in range(1, voc.levels + 1):
+        n = voc.k ** d
+        ids = np.arange(next_id, next_id + n, dtype=np.int64)
+        id_of.append(ids)
+        next_id += n
+    for d in range(1, voc.levels + 1):
+        centers = voc.centers[d - 1]
+        leaf = d == voc.levels
+        for s in range(voc.k ** d):
+            pid = int(id_of[d - 1][s // voc.k])
+            w = float(voc.idf[s]) if leaf else 0.0
+            records.append(struct.pack("<i", pid)
+                           + centers[s].astype("<u4").tobytes()
+                           + struct.pack("<f", w)
+                           + struct.pack("<B", 1 if leaf else 0))
+    with open(path, "wb") as f:
+        f.write(struct.pack("<IIiiii", len(records) + 1, 41,
+                            voc.k, voc.levels, 0, 0))
+        f.write(b"".join(records))
+
+
+def _build_vocab(k, L, parent, desc8, weight, is_leaf, n_rec) -> Vocabulary:
 
     # depth per node (parents always precede children in the file)
     depth = np.zeros(n_rec + 1, np.int32)

@@ -178,3 +178,48 @@ def test_orbvoc_ragged_tree(tmp_path):
     l2 = np.frombuffer(d[3], np.uint8).view("<u4")[None].astype(np.uint32)
     assert voc.word_of_slot[voc.transform_np(l1)[0]] == 1
     assert voc.word_of_slot[voc.transform_np(l2)[0]] == 2
+
+
+def test_orbvoc_binary_roundtrip_with_trained_vocab(tmp_path):
+    """Train our own vocabulary, save it in the DBoW2 binary format,
+    parse it back: word assignments and weights must survive."""
+    from orb_slam2_tpu.models.vocabulary import Vocabulary
+    from orb_slam2_tpu.io.orbvoc import save_orbvoc_binary
+
+    rng = np.random.default_rng(5)
+    desc = rng.integers(0, 2 ** 32, (3000, 8),
+                        dtype=np.uint64).astype(np.uint32)
+    voc = Vocabulary.train(desc, k=4, levels=3, kmeans_iters=3, seed=0)
+    p = tmp_path / "voc.bin"
+    save_orbvoc_binary(voc, str(p))
+    voc2 = load_orbvoc_binary(str(p))
+    assert voc2.k == 4 and voc2.levels == 3
+    q = desc[:200]
+    w1 = voc.transform_np(q)
+    w2 = voc2.transform_np(q)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_allclose(voc2.idf[w2], voc.idf[w1], rtol=1e-6)
+
+
+def test_orbvoc_text_format(tmp_path):
+    """DBoW2 text format (upstream ORBvoc.txt layout)."""
+    descs = _clustered_descs()
+    lines = ["2 2 0 0"]
+    nodes = [
+        (0, descs[0], 0.0, 0), (0, descs[1], 0.0, 0),
+        (1, descs[2], 0.5, 1), (1, descs[3], 0.6, 1),
+        (2, descs[4], 0.7, 1), (2, descs[5], 0.8, 1),
+    ]
+    for parent, d, w, leaf in nodes:
+        b = np.frombuffer(d, np.uint8)
+        lines.append(f"{parent} {leaf} " + " ".join(map(str, b)) + f" {w}")
+    p = tmp_path / "voc.txt"
+    p.write_text("\n".join(lines) + "\n")
+    from orb_slam2_tpu.io.orbvoc import load_orbvoc_text
+    voc = load_orbvoc_text(str(p))
+    assert voc.k == 2 and voc.levels == 2
+    leaf_desc = np.stack([
+        np.frombuffer(d, np.uint8).view("<u4") for d in descs[2:]])
+    words = voc.transform_np(leaf_desc.astype(np.uint32))
+    assert list(words) == [0, 1, 2, 3]
+    np.testing.assert_allclose(voc.idf[words], [0.5, 0.6, 0.7, 0.8])
