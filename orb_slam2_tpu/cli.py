@@ -139,6 +139,46 @@ def cmd_tum(args) -> int:
     return 0
 
 
+def cmd_kitti(args) -> int:
+    """Upstream mono_kitti example semantics: estimated-pose tracking on
+    a KITTI odometry sequence (image_0/*.png at 10 fps), KITTI-format
+    trajectory output for ATE evaluation against poses/XX.txt."""
+    import glob
+    from .geom.camera import Intrinsics
+    from .ops.extractor import OrbParams
+    from .pipeline import SlamConfig, System, TrackState
+    from .io.poses import save_kitti_trajectory
+
+    files = sorted(glob.glob(os.path.join(args.sequence, "image_0", "*")))
+    if not files:
+        files = sorted(glob.glob(os.path.join(args.sequence, "*.png")))
+    if args.settings:
+        from .io import load_settings_yaml
+        cfg = load_settings_yaml(args.settings, pose_prior=False)
+    else:
+        # KITTI00-02 defaults (upstream Examples/Monocular/KITTI00-02.yaml)
+        cam = Intrinsics(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+                         width=1241, height=376)
+        cfg = SlamConfig(cam=cam, orb=OrbParams(n_features=2000, n_levels=8),
+                         fps=10.0, pose_prior=False)
+    vocab = _load_vocabulary(args.vocab) if args.vocab else None
+    system = System(cfg, enable_loop_closing=not args.no_loop, vocab=vocab)
+
+    limit = args.limit or len(files)
+    for i, fp in enumerate(files[:limit]):
+        system.track_monocular(_load_image(fp), i / cfg.fps)
+        if i + 1 < limit:
+            system.prefetch(_load_image(files[i + 1]))
+        print(f"frame {i}: state={system.state.name}", file=sys.stderr)
+    Tcw_list = [T for _, _, T, st in system.trajectory
+                if st == TrackState.OK]
+    save_kitti_trajectory(args.traj_out, Tcw_list)
+    print(json.dumps({"frames": limit, "tracked_ok": len(Tcw_list),
+                      "loops_closed": getattr(system.loop_closer,
+                                              "n_loops_closed", 0)}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="orb_slam2_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -157,6 +197,15 @@ def main(argv=None) -> int:
     t.add_argument("--limit", type=int, default=0)
     t.add_argument("--no-loop", action="store_true")
     t.set_defaults(fn=cmd_tum)
+
+    kd = sub.add_parser("kitti", help="KITTI odometry monocular")
+    kd.add_argument("sequence", help="sequence dir (contains image_0/)")
+    kd.add_argument("--settings", default="")
+    kd.add_argument("--vocab", default="")
+    kd.add_argument("--traj-out", default="trajectory_kitti.txt")
+    kd.add_argument("--limit", type=int, default=0)
+    kd.add_argument("--no-loop", action="store_true")
+    kd.set_defaults(fn=cmd_kitti)
 
     args = ap.parse_args(argv)
     return args.fn(args)

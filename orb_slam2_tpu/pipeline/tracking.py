@@ -66,20 +66,31 @@ def _project_points(Tcw, pos, fx, fy, cx, cy):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "fx", "fy", "cx", "cy", "bounds", "th"))
+    "fx", "fy", "cx", "cy", "bounds", "th", "chi2"))
 def _match_last_fused(Tcw, pos, mp_valid, oct_, desc, ang,
                       kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
-                      scale_factors, fx, fy, cx, cy, bounds, th):
+                      scale_factors, inv_sigma2, fx, fy, cx, cy, bounds,
+                      th, chi2: float = 0.0):
     """Projection + in-image gating + last-frame search in ONE jit
-    (each separate dispatch pays a tunnel round trip)."""
+    (each separate dispatch pays a tunnel round trip).
+
+    With ``chi2 > 0`` the trusted-pose reprojection gate
+    (CheckMatchesByProjection, src/Tracking.cc:1108-1142) fuses in too:
+    the second returned mask keeps matches whose error under the prior
+    pose passes chi2 * sigma^2 of the matched keypoint's octave."""
     uv, z = _project_points(Tcw, pos, fx, fy, cx, cy)
     minx, maxx, miny, maxy = bounds
     in_img = ((z > 0) & (uv[:, 0] >= minx) & (uv[:, 0] < maxx)
               & (uv[:, 1] >= miny) & (uv[:, 1] < maxy))
-    return search.search_by_projection_last_frame(
+    res = search.search_by_projection_last_frame(
         uv, oct_, desc, mp_valid & in_img, ang,
         kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
         scale_factors, th=th)
+    if chi2 <= 0:
+        return res, res.valid
+    r = uv - kp_xy[res.idx]
+    c2 = jnp.sum(r * r, -1) * inv_sigma2[kp_octave[res.idx]]
+    return res, res.valid & (c2 <= chi2)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -140,6 +151,7 @@ class Tracker:
         self.inv_sigma2 = np.asarray(factory.inv_sigma2, np.float32)
         # constants uploaded once, reused across every dispatch
         self._j_scales = jnp.asarray(self.scale_factors)
+        self._j_inv_sigma2 = jnp.asarray(self.inv_sigma2)
         self.log_scale = float(np.log(config.orb.scale_factor))
 
     # ------------------------------------------------------------------
@@ -424,13 +436,15 @@ class Tracker:
         return ids[live].astype(np.int32)
 
     def _match_against_last(self, frame: Frame, Tcw_pred: np.ndarray,
-                            th: float) -> int:
+                            th: float, chi2: float = 0.0):
         """SearchByProjection(cur, last, th) — bind map points of the
-        last frame to current features (src/ORBmatcher.cc:1633-1797)."""
+        last frame to current features (src/ORBmatcher.cc:1633-1797).
+        With ``chi2 > 0`` the trusted-pose gate fuses into the same
+        device call; returns (n_matches, n_good)."""
         last = self.last_frame
         ids = self._gather_last_frame_mps(last)
         if len(ids) == 0:
-            return 0
+            return 0, 0
         pos = np.asarray(self.store.mp_pos[last.mp_ids[ids]])
         desc = last.desc[ids]
         oct_ = last.octave[ids]
@@ -446,21 +460,22 @@ class Tracker:
         mp_valid[:len(ids)] = True
 
         fx, fy, cx, cy = self._cam_tuple
-        res = _match_last_fused(
+        res, gate = _match_last_fused(
             jnp.asarray(Tcw_pred), jnp.asarray(pos), jnp.asarray(mp_valid),
             jnp.asarray(oct_), jnp.asarray(desc), jnp.asarray(ang),
             frame.dev("xy"), frame.dev("octave"),
             frame.dev("desc"), frame.dev("valid"),
             frame.dev("angle"),
-            self._j_scales,
-            fx, fy, cx, cy, self.bounds, th)
-        res = res.host()
-        rvalid = res.valid[:len(ids)]
-        ridx = res.idx[:len(ids)]
-        sel = np.where(rvalid)[0]
-        # mutual-best guarantees unique target features per row
+            self._j_scales, self._j_inv_sigma2,
+            fx, fy, cx, cy, self.bounds, th, chi2)
+        rvalid, ridx, ggate = jax.device_get((res.valid, res.idx, gate))
+        rvalid = rvalid[:len(ids)]
+        ridx = ridx[:len(ids)]
+        ggate = ggate[:len(ids)]
+        # bind only gate survivors (mutual-best => unique targets)
+        sel = np.where(ggate)[0]
         frame.mp_ids[ridx[sel]] = last.mp_ids[ids[sel]]
-        return len(sel)
+        return int(rvalid.sum()), len(sel)
 
     def _pose_chi2_filter(self, frame: Frame) -> int:
         """Prior mode: gate current bindings by reprojection chi2 under
@@ -509,22 +524,23 @@ class Tracker:
         return int(inl.sum())
 
     def _track_with_prior(self, frame: Frame) -> bool:
-        """TrackWithInitialPose (src/Tracking.cc:1060-1072)."""
-        n = self._match_against_last(frame, frame.Tcw, th=7.0)
+        """TrackWithInitialPose (src/Tracking.cc:1060-1072): match +
+        trusted-pose chi2 gate in one fused device call."""
+        n, good = self._match_against_last(frame, frame.Tcw, th=7.0,
+                                           chi2=self.cfg.chi2_mono)
         if n < self.cfg.track_prior_min_matches:
             frame.mp_ids[:] = -1
             return False
-        good = self._pose_chi2_filter(frame)
         return good >= self.cfg.track_prior_min_good
 
     def _track_motion_model(self, frame: Frame) -> bool:
         """Upstream TrackWithMotionModel."""
         Tcw_pred = (self.velocity @ self.last_frame.Tcw).astype(np.float32)
         frame.Tcw = Tcw_pred
-        n = self._match_against_last(frame, Tcw_pred, th=15.0)
+        n, _ = self._match_against_last(frame, Tcw_pred, th=15.0)
         if n < 20:
             frame.mp_ids[:] = -1
-            n = self._match_against_last(frame, Tcw_pred, th=30.0)
+            n, _ = self._match_against_last(frame, Tcw_pred, th=30.0)
         if n < 20:
             frame.mp_ids[:] = -1
             return False
