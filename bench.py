@@ -50,7 +50,10 @@ def main():
     )
 
     world = synth.make_world(seed=7, tex_size=4096, scale=120.0)
-    n_warm, n_meas = 8, 20
+    # warm-up must cover every padded-shape bucket the measured window
+    # will hit (the axon remote-compile relay has no persistent cache,
+    # so any bucket first seen during measurement costs a full compile)
+    n_warm, n_meas = 16, 16
     poses = synth.aerial_trajectory(n_warm + n_meas, height=12.0, speed=0.5)
     frames = [synth.render(world, cam, T) for T in poses]
 
@@ -86,6 +89,8 @@ def main():
     }))
     print(f"# tracked OK: {n_ok}/{n_meas}, platform: {jax.devices()[0]}",
           file=sys.stderr)
+    for line in sys_.timing_report().splitlines():
+        print(f"# {line}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -179,6 +179,53 @@ def cmd_kitti(args) -> int:
     return 0
 
 
+def cmd_euroc(args) -> int:
+    """Upstream mono_euroc example semantics: ASL-format sequence
+    (mav0/cam0/data/*.png + data.csv timestamps), estimated-pose
+    tracking with relocalization, TUM-format trajectory output."""
+    from .geom.camera import Intrinsics
+    from .ops.extractor import OrbParams
+    from .pipeline import SlamConfig, System, TrackState
+    from .io.poses import save_tum_trajectory
+
+    cam_dir = os.path.join(args.sequence, "mav0", "cam0")
+    if not os.path.isdir(cam_dir):
+        cam_dir = args.sequence
+    csv = os.path.join(cam_dir, "data.csv")
+    ts_list, files = [], []
+    with open(csv) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            t_ns, name = line.split(",")[:2]
+            ts_list.append(float(t_ns) * 1e-9)
+            files.append(os.path.join(cam_dir, "data", name.strip()))
+    if args.settings:
+        from .io import load_settings_yaml
+        cfg = load_settings_yaml(args.settings, pose_prior=False)
+    else:
+        # EuRoC cam0 defaults (upstream Examples/Monocular/EuRoC.yaml)
+        cam = Intrinsics(fx=435.2046959714599, fy=435.2046959714599,
+                         cx=367.4517211914062, cy=252.2008514404297,
+                         width=752, height=480)
+        cfg = SlamConfig(cam=cam, orb=OrbParams(n_features=1000, n_levels=8),
+                         fps=20.0, pose_prior=False)
+    vocab = _load_vocabulary(args.vocab) if args.vocab else None
+    system = System(cfg, enable_loop_closing=not args.no_loop, vocab=vocab)
+
+    limit = args.limit or len(files)
+    for i, (t, fp) in enumerate(zip(ts_list[:limit], files[:limit])):
+        system.track_monocular(_load_image(fp), t)
+        print(f"frame {i}: state={system.state.name}", file=sys.stderr)
+    Tcw_list = [T for _, _, T, st in system.trajectory
+                if st == TrackState.OK]
+    ts_ok = [t for _, t, _, st in system.trajectory if st == TrackState.OK]
+    save_tum_trajectory(args.traj_out, ts_ok, Tcw_list)
+    print(json.dumps({"frames": limit, "tracked_ok": len(Tcw_list)}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="orb_slam2_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -206,6 +253,15 @@ def main(argv=None) -> int:
     kd.add_argument("--limit", type=int, default=0)
     kd.add_argument("--no-loop", action="store_true")
     kd.set_defaults(fn=cmd_kitti)
+
+    e = sub.add_parser("euroc", help="EuRoC MAV monocular (ASL format)")
+    e.add_argument("sequence", help="sequence dir (contains mav0/cam0)")
+    e.add_argument("--settings", default="")
+    e.add_argument("--vocab", default="")
+    e.add_argument("--traj-out", default="trajectory_euroc.txt")
+    e.add_argument("--limit", type=int, default=0)
+    e.add_argument("--no-loop", action="store_true")
+    e.set_defaults(fn=cmd_euroc)
 
     args = ap.parse_args(argv)
     return args.fn(args)

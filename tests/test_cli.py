@@ -80,3 +80,48 @@ ORBextractor.nLevels: 4
     assert "element frame 1" in head
     assert "property float tcw15" in head
     assert "property float k8" in head
+
+
+def test_cli_kitti_and_euroc_runners(tmp_path):
+    """The dataset runners drive the estimated-pose pipeline end to end
+    on synthetic frames laid out in each dataset's directory schema."""
+    world = synth.make_world(seed=3)
+    poses = synth.aerial_trajectory(8, speed=0.4)
+
+    # --- KITTI layout: seq/image_0/NNNNNN.npy ---
+    kitti = tmp_path / "kitti_seq"
+    (kitti / "image_0").mkdir(parents=True)
+    for i, T in enumerate(poses):
+        np.save(kitti / "image_0" / f"{i:06d}.npy",
+                synth.render(world, CAM, T))
+    (tmp_path / "settings.yaml").write_text("""%YAML:1.0
+Camera.fx: 450.0
+Camera.fy: 450.0
+Camera.cx: 320.0
+Camera.cy: 240.0
+Camera.fps: 10.0
+ORBextractor.nFeatures: 800
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 4
+""")
+    rc = cli.main(["kitti", str(kitti), "--no-loop",
+                   "--settings", str(tmp_path / "settings.yaml"),
+                   "--traj-out", str(tmp_path / "kitti_traj.txt")])
+    assert rc == 0
+    assert (tmp_path / "kitti_traj.txt").exists()
+
+    # --- EuRoC ASL layout: seq/mav0/cam0/{data.csv,data/*.npy} ---
+    euroc = tmp_path / "euroc_seq"
+    data = euroc / "mav0" / "cam0" / "data"
+    data.mkdir(parents=True)
+    lines = ["#timestamp [ns],filename"]
+    for i, T in enumerate(poses):
+        name = f"{i:019d}.npy"
+        np.save(data / name, synth.render(world, CAM, T))
+        lines.append(f"{int(i * 5e7)},{name}")
+    (euroc / "mav0" / "cam0" / "data.csv").write_text("\n".join(lines))
+    rc = cli.main(["euroc", str(euroc), "--no-loop",
+                   "--settings", str(tmp_path / "settings.yaml"),
+                   "--traj-out", str(tmp_path / "euroc_traj.txt")])
+    assert rc == 0
+    assert (tmp_path / "euroc_traj.txt").exists()
