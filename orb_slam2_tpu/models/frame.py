@@ -55,6 +55,23 @@ class Frame:
             self._dev[name] = arr
         return arr
 
+    def dev_padded(self, name: str, n: int):
+        """Device copy zero-padded to ``n`` rows (cached).  Lets frames
+        with different feature counts stack into one batch ON DEVICE —
+        no stacked host array ever crosses the tunnel."""
+        key = (name, n)
+        arr = self._dev.get(key)
+        if arr is None:
+            base = self.dev(name)
+            pad = n - base.shape[0]
+            if pad > 0:
+                widths = ((0, pad),) + ((0, 0),) * (base.ndim - 1)
+                arr = jnp.pad(base, widths)
+            else:
+                arr = base
+            self._dev[key] = arr
+        return arr
+
 
 class FrameFactory:
     """Builds Frames with a cached jitted extract+undistort pipeline.

@@ -355,33 +355,36 @@ class LocalMapper:
             store.update_connections(kid)
             return
 
-        # --- stack neighbor frames (pad to common feature count) ---
+        # --- stack neighbor frames ON DEVICE (cached padded copies):
+        # only the small dynamic validity masks cross the tunnel ---
         B = len(elig)
         Bp = ((B + 3) // 4) * 4
         n2 = max(store.kfs[e[0]].frame.n for e in elig)
-        xy2 = np.zeros((Bp, n2, 2), np.float32)
-        desc2 = np.zeros((Bp, n2, 8), np.uint32)
+        frames2 = [store.kfs[e[0]].frame for e in elig]
+        stack_list = frames2 + [frames2[0]] * (Bp - B)
+
+        def dstack(name):
+            return jnp.stack([fr.dev_padded(name, n2) for fr in stack_list])
+
         valid2 = np.zeros((Bp, n2), bool)
-        oct2 = np.zeros((Bp, n2), np.int32)
-        ang2 = np.zeros((Bp, n2), np.float32)
+        oct2 = np.zeros((Bp, n2), np.int32)   # host copies for pair gathers
+        xy2 = np.zeros((Bp, n2, 2), np.float32)
         F12_s = np.tile(np.eye(3, dtype=np.float32), (Bp, 1, 1))
         epi_s = np.zeros((Bp, 2), np.float32)
         for b, (kid2, F12, uv_e, _) in enumerate(elig):
-            f2 = store.kfs[kid2].frame
+            f2 = frames2[b]
             m = f2.n
-            xy2[b, :m] = f2.xy
-            desc2[b, :m] = f2.desc
             valid2[b, :m] = (f2.mp_ids < 0) & f2.valid
             oct2[b, :m] = f2.octave
-            ang2[b, :m] = f2.angle
+            xy2[b, :m] = f2.xy
             F12_s[b] = F12
             epi_s[b] = uv_e
 
         sidx, sdist, svalid = jax.device_get(_search_triangulation_stack(
             f1.dev("xy"), f1.dev("desc"), jnp.asarray(unbound1),
             f1.dev("octave"), f1.dev("angle"),
-            jnp.asarray(xy2), jnp.asarray(desc2), jnp.asarray(valid2),
-            jnp.asarray(oct2), jnp.asarray(ang2),
+            dstack("xy"), dstack("desc"), jnp.asarray(valid2),
+            dstack("octave"), dstack("angle"),
             jnp.asarray(F12_s), jnp.asarray(epi_s),
             self._j_sigma2, self._j_scales))
 
@@ -530,19 +533,17 @@ class LocalMapper:
         T = len(target_kids)
         Tp = ((T + 3) // 4) * 4
         n2 = max(store.kfs[t].frame.n for t in target_kids)
+        frames_t = [store.kfs[t].frame for t in target_kids]
+        stack_list = frames_t + [frames_t[0]] * (Tp - T)
+
+        def dstack(name):
+            return jnp.stack([fr.dev_padded(name, n2) for fr in stack_list])
+
         Tcw_s = np.tile(np.eye(4, dtype=np.float32), (Tp, 1, 1))
-        kxy = np.zeros((Tp, n2, 2), np.float32)
-        koct = np.zeros((Tp, n2), np.int32)
-        kdesc = np.zeros((Tp, n2, 8), np.uint32)
         kvalid = np.zeros((Tp, n2), bool)
         for b, t in enumerate(target_kids):
-            f = store.kfs[t].frame
-            m = f.n
             Tcw_s[b] = store.kfs[t].Tcw
-            kxy[b, :m] = f.xy
-            koct[b, :m] = f.octave
-            kdesc[b, :m] = f.desc
-            kvalid[b, :m] = f.valid
+            kvalid[b, :frames_t[b].n] = frames_t[b].valid
 
         fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
                           float(cfg.cam.cx), float(cfg.cam.cy))
@@ -555,8 +556,8 @@ class LocalMapper:
             jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
             jnp.asarray(np.pad(soa["valid"], (0, pad))),
             jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
-            jnp.asarray(Tcw_s), jnp.asarray(kxy), jnp.asarray(koct),
-            jnp.asarray(kdesc), jnp.asarray(kvalid),
+            jnp.asarray(Tcw_s), dstack("xy"), dstack("octave"),
+            dstack("desc"), jnp.asarray(kvalid),
             self._j_scales,
             fx, fy, cx, cy, bounds, cfg.orb.n_levels, self.log_scale,
             th=3.0, ratio=1.0))
