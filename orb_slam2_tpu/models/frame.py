@@ -4,11 +4,16 @@ Replaces src/Frame.cc: ORB extraction, keypoint undistortion, and the
 static camera setup (src/Frame.cc:111-216, 502-597).  The 64x48
 feature grid of the reference is not needed — spatial windowing happens
 as dense masks inside the search ops.
+
+Feature arrays are DEVICE-FIRST: the extractor's outputs stay on the
+TPU and host copies materialize lazily, in one batched transfer, only
+when something actually reads them (keyframe bookkeeping, BoW, export).
+A frame that is tracked and discarded never crosses the tunnel.
+Only ``mp_ids`` / ``mp_outlier`` (the map bindings) are host-native.
 """
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
 
 import numpy as np
 import jax
@@ -17,33 +22,54 @@ import jax.numpy as jnp
 from ..geom import camera as camera_mod
 from ..ops import extractor as ex
 
+_FEATURE_FIELDS = ("xy", "xy_raw", "response", "angle", "octave",
+                   "desc", "valid")
 
-@dataclass
+
 class Frame:
-    frame_id: int
-    timestamp: float
-    # SoA feature data (numpy on host; ship to device per stage)
-    xy: np.ndarray        # (N, 2) float32 — UNDISTORTED pixel coords
-    xy_raw: np.ndarray    # (N, 2) float32 — raw detector coords
-    response: np.ndarray  # (N,)
-    angle: np.ndarray     # (N,)
-    octave: np.ndarray    # (N,) int32
-    desc: np.ndarray      # (N, 8) uint32
-    valid: np.ndarray     # (N,) bool
-    Tcw: np.ndarray       # (4, 4) float64-precision float32
-    mp_ids: np.ndarray    # (N,) int32 — bound map point id, -1 if none
-    mp_outlier: np.ndarray  # (N,) bool — flagged by pose optimization
+    """SoA keypoint set + pose + map bindings.
 
-    # lazy device-resident copies of the immutable feature arrays:
-    # re-uploading the same 4000-row arrays on every search dispatch
-    # costs a host->device transfer each; these persist for the frame's
-    # lifetime (the fields are never mutated after construction —
-    # only mp_ids/mp_outlier are, and those stay host-side)
-    _dev: dict = field(default_factory=dict, repr=False, compare=False)
+    Fields: xy (N,2 undistorted), xy_raw (N,2 detector coords),
+    response (N,), angle (N,), octave (N,), desc (N,8 uint32),
+    valid (N,), Tcw (4,4), mp_ids (N,), mp_outlier (N,)."""
+
+    def __init__(self, frame_id, timestamp, Tcw, mp_ids, mp_outlier,
+                 n=None, dev=None, **host_fields):
+        self.frame_id = frame_id
+        self.timestamp = timestamp
+        self.Tcw = Tcw
+        self.mp_ids = mp_ids
+        self.mp_outlier = mp_outlier
+        self._dev = dict(dev) if dev else {}
+        self._n = n
+        for k, v in host_fields.items():
+            if k not in _FEATURE_FIELDS:
+                raise TypeError(f"unknown field {k}")
+            self.__dict__[k] = v
+        if n is None:
+            if "xy" in self.__dict__:
+                self._n = self.__dict__["xy"].shape[0]
+            else:
+                self._n = int(self._dev["xy"].shape[0])
+
+    def __getattr__(self, name):
+        # only called for names NOT in __dict__: lazily materialize the
+        # host copies with one batched device->host transfer
+        if name in _FEATURE_FIELDS:
+            self._materialize()
+            return self.__dict__[name]
+        raise AttributeError(name)
+
+    def _materialize(self):
+        missing = [f for f in _FEATURE_FIELDS if f not in self.__dict__]
+        if not missing:
+            return
+        vals = jax.device_get(tuple(self._dev[f] for f in missing))
+        self.__dict__.update(zip(missing, vals))
 
     @property
     def n(self) -> int:
-        return self.xy.shape[0]
+        return self._n
 
     def n_tracked(self) -> int:
         return int(((self.mp_ids >= 0) & ~self.mp_outlier).sum())
@@ -127,30 +153,18 @@ class FrameFactory:
             feats, und, _ = self.start(image, init_mode)
         fid = self._next_id
         self._next_id += 1
-        # ONE batched device->host transfer for all outputs: each
-        # separate np.asarray costs a full round trip through the TPU
-        # tunnel (~77 ms measured), 7 of them dominated frame build time
-        und_h, xy_h, resp_h, ang_h, oct_h, desc_h, valid_h = jax.device_get(
-            (und, feats.xy, feats.response, feats.angle, feats.octave,
-             feats.desc, feats.valid))
-        n = xy_h.shape[0]
-        out = Frame(
+        n = int(feats.xy.shape[0])
+        # NO device->host transfer here: the feature arrays live on
+        # device; host copies materialize lazily on first access
+        return Frame(
             frame_id=fid,
             timestamp=timestamp,
-            xy=und_h,
-            xy_raw=xy_h,
-            response=resp_h,
-            angle=ang_h,
-            octave=oct_h,
-            desc=desc_h,
-            valid=valid_h,
-            Tcw=np.eye(4, dtype=np.float32) if Tcw is None else np.asarray(Tcw, np.float32),
+            Tcw=np.eye(4, dtype=np.float32) if Tcw is None
+            else np.asarray(Tcw, np.float32),
             mp_ids=np.full(n, -1, np.int32),
             mp_outlier=np.zeros(n, bool),
+            n=n,
+            dev=dict(xy=und, xy_raw=feats.xy, response=feats.response,
+                     angle=feats.angle, octave=feats.octave,
+                     desc=feats.desc, valid=feats.valid),
         )
-        # seed the device cache with the extractor's own outputs — the
-        # arrays are already on device, no re-upload ever happens
-        out._dev.update(xy=und, xy_raw=feats.xy, angle=feats.angle,
-                        octave=feats.octave, desc=feats.desc,
-                        valid=feats.valid)
-        return out

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 from typing import Dict, List
 
-import numpy as np
-
 from .. import native
 from .mapstore import MapStore
 from .vocabulary import Vocabulary

@@ -10,8 +10,6 @@ resume tracking / relocalization / loop closing.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from .frame import Frame

@@ -10,18 +10,18 @@ LocalMapping::Run's sequence, src/LocalMapping.cc:78-158).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geom import triangulate, se3
+from ..geom import triangulate
 from ..matching import search, frustum
 from ..models.mapstore import MapStore
 from ..optim import points_opt, ba
 from .config import SlamConfig
-from .tracking import pad_bucket, _project_points
+from .tracking import pad_bucket
 from ..utils.logging import get_logger, StageTimer
 
 log = get_logger("local_mapping")
@@ -124,7 +124,6 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
                      iters: int = 10):
     """Fixed-pose local BA == independent point refinement
     (src/Optimizer.cc:328-637 with fixedPose=true)."""
-    from ..models.frame import FrameFactory
     from ..ops.extractor import level_sigma2
     inv_sigma2 = (1.0 / level_sigma2(cfg.orb)).astype(np.float32)
     pids, packed = gather_ba_problem(store, kf_ids, inv_sigma2)

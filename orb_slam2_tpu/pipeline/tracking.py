@@ -23,8 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geom import se3
-from ..matching import search, frustum, core as mcore
+from ..matching import search, frustum
 from ..models.frame import Frame, FrameFactory
 from ..models.mapstore import MapStore
 from ..optim import pose_opt
