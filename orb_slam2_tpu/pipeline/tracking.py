@@ -66,17 +66,25 @@ def _project_points(Tcw, pos, fx, fy, cx, cy):
 
 @functools.partial(jax.jit, static_argnames=(
     "fx", "fy", "cx", "cy", "bounds", "th", "chi2"))
-def _match_last_fused(Tcw, pos, mp_valid, oct_, desc, ang,
+def _match_last_fused(Tcw, pos, mp_valid, row_ids,
+                      last_octave, last_desc, last_angle,
                       kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
                       scale_factors, inv_sigma2, fx, fy, cx, cy, bounds,
                       th, chi2: float = 0.0):
     """Projection + in-image gating + last-frame search in ONE jit
     (each separate dispatch pays a tunnel round trip).
 
+    The last frame's per-row descriptor/octave/angle are gathered ON
+    DEVICE from its resident arrays via ``row_ids`` — the last frame
+    never has to materialize on the host.
+
     With ``chi2 > 0`` the trusted-pose reprojection gate
     (CheckMatchesByProjection, src/Tracking.cc:1108-1142) fuses in too:
     the second returned mask keeps matches whose error under the prior
     pose passes chi2 * sigma^2 of the matched keypoint's octave."""
+    oct_ = last_octave[row_ids]
+    desc = last_desc[row_ids]
+    ang = last_angle[row_ids]
     uv, z = _project_points(Tcw, pos, fx, fy, cx, cy)
     minx, maxx, miny, maxy = bounds
     in_img = ((z > 0) & (uv[:, 0] >= minx) & (uv[:, 0] < maxx)
@@ -109,13 +117,17 @@ def _frustum_search_fused(pos, normal, min_d, max_d, pvalid, desc,
 
 
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "chi2"))
-def _reproj_chi2_gate(Tcw, pos, uv_obs, inv_sigma2, valid, fx, fy, cx, cy, chi2):
+def _reproj_chi2_gate(Tcw, pos, bound_idx, kp_xy, kp_octave, inv_sigma2,
+                      valid, fx, fy, cx, cy, chi2):
     """CheckMatchesByProjection (src/Tracking.cc:1108-1142): keep
     bindings whose reprojection error under the (trusted) pose passes
-    the chi-squared gate."""
+    the chi-squared gate.  Observed keypoints gather on device via
+    ``bound_idx`` from the frame's resident arrays."""
+    uv_obs = kp_xy[bound_idx]
+    isig = inv_sigma2[kp_octave[bound_idx]]
     uv, z = _project_points(Tcw, pos, fx, fy, cx, cy)
     r = uv - uv_obs
-    c2 = jnp.sum(r * r, -1) * inv_sigma2
+    c2 = jnp.sum(r * r, -1) * isig
     return valid & (z > 0) & (c2 <= chi2)
 
 
@@ -445,23 +457,19 @@ class Tracker:
         if len(ids) == 0:
             return 0, 0
         pos = np.asarray(self.store.mp_pos[last.mp_ids[ids]])
-        desc = last.desc[ids]
-        oct_ = last.octave[ids]
-        ang = last.angle[ids]
 
         n = pad_bucket(len(ids))
         pad = n - len(ids)
         pos = np.pad(pos, ((0, pad), (0, 0)))
-        desc = np.pad(desc, ((0, pad), (0, 0)))
-        oct_ = np.pad(oct_, (0, pad))
-        ang = np.pad(ang, (0, pad))
+        ids_p = np.pad(ids, (0, pad))
         mp_valid = np.zeros(n, bool)
         mp_valid[:len(ids)] = True
 
         fx, fy, cx, cy = self._cam_tuple
         res, gate = _match_last_fused(
             jnp.asarray(Tcw_pred), jnp.asarray(pos), jnp.asarray(mp_valid),
-            jnp.asarray(oct_), jnp.asarray(desc), jnp.asarray(ang),
+            jnp.asarray(ids_p),
+            last.dev("octave"), last.dev("desc"), last.dev("angle"),
             frame.dev("xy"), frame.dev("octave"),
             frame.dev("desc"), frame.dev("valid"),
             frame.dev("angle"),
@@ -489,9 +497,8 @@ class Tracker:
         ok = np.asarray(_reproj_chi2_gate(
             jnp.asarray(frame.Tcw),
             jnp.asarray(np.pad(pos, ((0, pad), (0, 0)))),
-            jnp.asarray(np.pad(frame.xy[bound], ((0, pad), (0, 0)))),
-            jnp.asarray(np.pad(self.inv_sigma2[frame.octave[bound]],
-                               (0, pad))),
+            jnp.asarray(np.pad(bound, (0, pad))),
+            frame.dev("xy"), frame.dev("octave"), self._j_inv_sigma2,
             jnp.asarray(np.pad(np.ones(len(bound), bool), (0, pad))),
             fx, fy, cx, cy, self.cfg.chi2_mono))[:len(bound)]
         frame.mp_ids[bound[~ok]] = -1
