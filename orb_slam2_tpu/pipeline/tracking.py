@@ -116,6 +116,17 @@ def _frustum_search_fused(pos, normal, min_d, max_d, pvalid, desc,
     return fr.visible, r
 
 
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
+def _pose_opt_fused(Tcw0, pos, bound_idx, kp_xy, kp_octave,
+                    inv_sigma2_lvl, valid, fx, fy, cx, cy):
+    """Motion-only pose LM with on-device keypoint gathers (the frame
+    stays device-resident)."""
+    uv = kp_xy[bound_idx]
+    isig = inv_sigma2_lvl[kp_octave[bound_idx]]
+    return pose_opt.optimize_pose(Tcw0, pos, uv, isig, valid,
+                                  fx, fy, cx, cy)
+
+
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "chi2"))
 def _reproj_chi2_gate(Tcw, pos, bound_idx, kp_xy, kp_octave, inv_sigma2,
                       valid, fx, fy, cx, cy, chi2):
@@ -514,19 +525,18 @@ class Tracker:
         n = pad_bucket(len(bound))
         pad = n - len(bound)
         fx, fy, cx, cy = self._cam_tuple
-        res = pose_opt.optimize_pose(
+        res = _pose_opt_fused(
             jnp.asarray(frame.Tcw),
             jnp.asarray(np.pad(pos, ((0, pad), (0, 0)))),
-            jnp.asarray(np.pad(frame.xy[bound], ((0, pad), (0, 0)))),
-            jnp.asarray(np.pad(self.inv_sigma2[frame.octave[bound]], (0, pad))),
+            jnp.asarray(np.pad(bound, (0, pad))),
+            frame.dev("xy"), frame.dev("octave"), self._j_inv_sigma2,
             jnp.asarray(np.pad(np.ones(len(bound), bool), (0, pad))),
             fx, fy, cx, cy)
         Tcw_h, inl = jax.device_get((res.Tcw, res.inliers))
         frame.Tcw = Tcw_h
         inl = inl[:len(bound)]
         frame.mp_outlier[:] = False
-        for j, i in enumerate(bound):
-            frame.mp_outlier[i] = not inl[j]
+        frame.mp_outlier[bound[~inl]] = True
         return int(inl.sum())
 
     def _track_with_prior(self, frame: Frame) -> bool:
