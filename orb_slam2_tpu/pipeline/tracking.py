@@ -101,19 +101,38 @@ def _match_last_fused(Tcw, pos, mp_valid, row_ids,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th"))
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th",
+    "chi2"))
 def _frustum_search_fused(pos, normal, min_d, max_d, pvalid, desc,
                           Tcw, kp_xy, kp_octave, kp_desc, kp_valid,
-                          kp_has_mp, scale_factors,
-                          fx, fy, cx, cy, bounds, n_levels, log_scale, th):
-    """isInFrustum + local-map projection search in ONE jit."""
+                          kp_has_mp, old_pos, old_idx, old_valid,
+                          scale_factors, inv_sigma2,
+                          fx, fy, cx, cy, bounds, n_levels, log_scale, th,
+                          chi2: float = 0.0):
+    """isInFrustum + local-map projection search in ONE jit.
+
+    With ``chi2 > 0`` (pose-prior mode) the trusted-pose gate runs in
+    the same call for BOTH the new matches and the pre-existing bound
+    features (old_pos/old_idx): returns (visible, match result,
+    new-match gate, old-binding gate)."""
     fr = frustum.is_in_frustum(pos, normal, min_d, max_d, pvalid, Tcw,
                                fx, fy, cx, cy, bounds, n_levels, log_scale)
     r = search.search_by_projection_local_map(
         fr.uv, fr.pred_level, fr.view_cos, desc, fr.visible,
         kp_xy, kp_octave, kp_desc, kp_valid, kp_has_mp,
         scale_factors, th=th)
-    return fr.visible, r
+    if chi2 <= 0:
+        return fr.visible, r, r.valid, old_valid
+
+    def gate(pw, feat_idx, valid):
+        uvp, z = _project_points(Tcw, pw, fx, fy, cx, cy)
+        d = uvp - kp_xy[feat_idx]
+        c2 = jnp.sum(d * d, -1) * inv_sigma2[kp_octave[feat_idx]]
+        return valid & (z > 0) & (c2 <= chi2)
+
+    new_gate = gate(pos, r.idx, r.valid)
+    old_gate = gate(old_pos, old_idx, old_valid)
+    return fr.visible, r, new_gate, old_gate
 
 
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
@@ -663,18 +682,30 @@ class Tracker:
             return False
 
         # frustum + projection search over points not already bound
-        bound = frame.mp_ids[frame.mp_ids >= 0]
+        bound_idx = np.where(frame.mp_ids >= 0)[0]
+        bound = frame.mp_ids[bound_idx]
         cand = np.setdiff1d(uniq, bound, assume_unique=False)
+        prior = self.cfg.pose_prior
         n_matched_new = 0
+        good = 0
         if len(cand):
             n = pad_bucket(len(cand))
             soa = self.store.points_soa(cand)
             pad = n - len(cand)
+            nb = pad_bucket(max(len(bound_idx), 1))
+            padb = nb - len(bound_idx)
+            old_pos = np.zeros((nb, 3), np.float32)
+            if len(bound_idx):
+                old_pos[:len(bound_idx)] = np.asarray(
+                    self.store.mp_pos[bound.astype(np.int64)])
+            old_idx = np.pad(bound_idx, (0, padb)).astype(np.int32)
+            old_valid = np.zeros(nb, bool)
+            old_valid[:len(bound_idx)] = True
             fx, fy, cx, cy = self._cam_tuple
             th = 3.0 if (frame.frame_id - self.last_reloc_frame_id
                          < self.cfg.max_frames_between_kf) else 1.0
-            # ONE fused frustum + search dispatch, ONE batched read
-            vis_dev, res = _frustum_search_fused(
+            # ONE fused frustum + search (+ trusted-pose gate) dispatch
+            vis_dev, res, new_gate, old_gate = _frustum_search_fused(
                 jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
                 jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
                 jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
@@ -685,22 +716,32 @@ class Tracker:
                 frame.dev("xy"), frame.dev("octave"),
                 frame.dev("desc"), frame.dev("valid"),
                 jnp.asarray(frame.mp_ids >= 0),
-                self._j_scales,
+                jnp.asarray(old_pos), jnp.asarray(old_idx),
+                jnp.asarray(old_valid),
+                self._j_scales, self._j_inv_sigma2,
                 fx, fy, cx, cy, self.bounds,
-                self.cfg.orb.n_levels, self.log_scale, th)
-            visible, ridx, _, rvalid = jax.device_get(
-                (vis_dev, res.idx, res.dist, res.valid))
+                self.cfg.orb.n_levels, self.log_scale, th,
+                self.cfg.chi2_mono if prior else 0.0)
+            visible, ridx, rvalid, g_new, g_old = jax.device_get(
+                (vis_dev, res.idx, res.valid, new_gate, old_gate))
             vis_pids = np.asarray(cand, np.int64)[visible[:len(cand)]]
             if len(vis_pids):
                 self.store.mp_n_visible[vis_pids] = \
                     self.store.mp_n_visible[vis_pids] + 1
-            sel = np.where(rvalid[:len(cand)])[0]
+            keep_new = (rvalid & g_new)[:len(cand)] if prior \
+                else rvalid[:len(cand)]
+            sel = np.where(keep_new)[0]
             frame.mp_ids[ridx[:len(cand)][sel]] = \
                 np.asarray(cand, np.int32)[sel]
             n_matched_new += len(sel)
+            if prior:
+                bad_old = bound_idx[~g_old[:len(bound_idx)]]
+                frame.mp_ids[bad_old] = -1
+                good = len(sel) + int(g_old[:len(bound_idx)].sum())
 
-        if self.cfg.pose_prior:
-            good = self._pose_chi2_filter(frame)
+        if prior:
+            if not len(cand):
+                good = self._pose_chi2_filter(frame)
         else:
             good = self._optimize_frame_pose(frame)
 
