@@ -65,22 +65,65 @@ def _fuse_project_stack(pos, normal, min_d, max_d, pvalid, desc,
     return jax.lax.map(body, (Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s))
 
 
-@jax.jit
-def _search_triangulation_stack(xy1, desc1, valid1, octave1, angle1,
-                                xy2_s, desc2_s, valid2_s, oct2_s, ang2_s,
-                                F12_s, epi_s, sigma2, scale_factors):
-    """All neighbor SearchForTriangulation calls in one jit.  lax.map
-    (not vmap) keeps only ONE (N1, N2) distance matrix alive at a time —
-    sequential on device, single host round trip."""
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "scale_ratio_factor"))
+def _triangulate_neighbors_fused(
+        xy1, desc1, valid1, octave1, angle1, Tcw1,
+        xy2_s, desc2_s, valid2_s, oct2_s, ang2_s,
+        F12_s, epi_s, Tcw2_s, o2_s, nb_valid,
+        K, sigma2, scale_factors,
+        fx, fy, cx, cy, scale_ratio_factor):
+    """The WHOLE CreateNewMapPoints device side in one call:
+
+    1. epipolar-gated BoW-free search against every neighbor
+       (lax.map — one distance matrix alive at a time),
+    2. first-neighbor-wins pair selection per KF1 row (the reference
+       binds a feature to the first neighbor that matches it,
+       src/LocalMapping.cc:327-346),
+    3. per-pair DLT triangulation with that neighbor's camera,
+    4. depth/reprojection/parallax gates + the scale-consistency gate
+       (src/LocalMapping.cc:380-470).
+
+    Returns per-KF1-row: (good, X, nb, col)."""
     def body(args):
         xy2, d2, v2, o2, a2, F, e = args
         r = search.search_for_triangulation(
             xy1, desc1, valid1, octave1, angle1, None,
             xy2, d2, v2, o2, a2, None, F, e, sigma2, scale_factors)
-        return r.idx, r.dist, r.valid
+        return r.idx, r.valid
 
-    return jax.lax.map(
+    sidx, svalid = jax.lax.map(
         body, (xy2_s, desc2_s, valid2_s, oct2_s, ang2_s, F12_s, epi_s))
+    svalid = svalid & nb_valid[:, None]
+
+    # first matching neighbor per row
+    has = jnp.any(svalid, axis=0)                       # (N1,)
+    nb = jnp.argmax(svalid, axis=0)                     # (N1,)
+    rows = jnp.arange(xy1.shape[0])
+    col = sidx[nb, rows]                                # (N1,)
+
+    Tcw2 = Tcw2_s[nb]                                   # (N1, 4, 4)
+    uv1 = xy1
+    uv2 = xy2_s[nb, col]
+    P1 = triangulate.projection_matrix(K, Tcw1)
+    P2 = triangulate.projection_matrix(K, Tcw2)
+    X = triangulate.triangulate_dlt_pairs(P1, P2, uv1, uv2)
+    sig1 = sigma2[octave1]
+    col_oct = oct2_s[nb, col]
+    sig2 = sigma2[col_oct]
+    chk = triangulate.check_triangulation_pairs(
+        X, Tcw1, Tcw2, uv1, uv2, fx, fy, cx, cy, sig1, sig2)
+
+    # scale-consistency gate
+    o1 = -Tcw1[:3, :3].T @ Tcw1[:3, 3]
+    d1 = jnp.linalg.norm(X - o1, axis=-1)
+    d2 = jnp.linalg.norm(X - o2_s[nb], axis=-1)
+    ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+    ratio_oct = scale_factors[octave1] / scale_factors[col_oct]
+    good = (has & chk.good
+            & (ratio_dist < ratio_oct * scale_ratio_factor)
+            & (ratio_dist > ratio_oct / scale_ratio_factor))
+    return good, X, nb, col
 
 
 def gather_ba_problem(store: MapStore, kf_ids: List[int], inv_sigma2):
@@ -366,96 +409,47 @@ class LocalMapper:
             return jnp.stack([fr.dev_padded(name, n2) for fr in stack_list])
 
         valid2 = np.zeros((Bp, n2), bool)
-        oct2 = np.zeros((Bp, n2), np.int32)   # host copies for pair gathers
-        xy2 = np.zeros((Bp, n2, 2), np.float32)
         F12_s = np.tile(np.eye(3, dtype=np.float32), (Bp, 1, 1))
         epi_s = np.zeros((Bp, 2), np.float32)
-        for b, (kid2, F12, uv_e, _) in enumerate(elig):
+        Tcw2_s = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
+        o2_s = np.zeros((Bp, 3), np.float32)
+        nb_valid = np.zeros(Bp, bool)
+        for b, (kid2, F12, uv_e, o2) in enumerate(elig):
             f2 = frames2[b]
             m = f2.n
             valid2[b, :m] = (f2.mp_ids < 0) & f2.valid
-            oct2[b, :m] = f2.octave
-            xy2[b, :m] = f2.xy
             F12_s[b] = F12
             epi_s[b] = uv_e
+            Tcw2_s[b] = store.kfs[kid2].Tcw
+            o2_s[b] = o2
+            nb_valid[b] = True
 
-        sidx, sdist, svalid = jax.device_get(_search_triangulation_stack(
+        # the WHOLE device side (search -> select -> DLT -> gates) in
+        # one dispatch + one batched read
+        good, X, nb, col = jax.device_get(_triangulate_neighbors_fused(
             f1.dev("xy"), f1.dev("desc"), jnp.asarray(unbound1),
-            f1.dev("octave"), f1.dev("angle"),
+            f1.dev("octave"), f1.dev("angle"), jnp.asarray(kf1.Tcw),
             dstack("xy"), dstack("desc"), jnp.asarray(valid2),
             dstack("octave"), dstack("angle"),
-            jnp.asarray(F12_s), jnp.asarray(epi_s),
-            self._j_sigma2, self._j_scales))
-
-        # --- collect candidate pairs (first neighbor wins per row) ---
-        rows_all, cols_all, nb_all = [], [], []
-        claimed = np.zeros(f1.n, bool)
-        for b in range(B):
-            rows = np.where(svalid[b] & ~claimed)[0]
-            if len(rows) == 0:
-                continue
-            claimed[rows] = True
-            rows_all.append(rows)
-            cols_all.append(sidx[b][rows])
-            nb_all.append(np.full(len(rows), b, np.int32))
-        if not rows_all:
-            store.update_connections(kid)
-            return
-        rows_all = np.concatenate(rows_all)
-        cols_all = np.concatenate(cols_all)
-        nb_all = np.concatenate(nb_all)
-
-        # --- ONE per-pair triangulation + gate call ---
-        Tcw2_s = np.stack([store.kfs[e[0]].Tcw for e in elig])
-        n_pairs = len(rows_all)
-        nbk = pad_bucket(n_pairs)
-        padn = nbk - n_pairs
-        uv1 = np.pad(f1.xy[rows_all], ((0, padn), (0, 0)))
-        uv2p = np.pad(xy2[nb_all, cols_all], ((0, padn), (0, 0)))
-        sig1 = np.pad(self.sigma2[f1.octave[rows_all]], (0, padn),
-                      constant_values=1.0)
-        col_oct = oct2[nb_all, cols_all]
-        sig2 = np.pad(self.sigma2[col_oct], (0, padn), constant_values=1.0)
-        Tcw2_pairs = np.concatenate(
-            [Tcw2_s[nb_all],
-             np.tile(np.eye(4, dtype=np.float32), (padn, 1, 1))])
-        P1 = triangulate.projection_matrix(jnp.asarray(K),
-                                           jnp.asarray(kf1.Tcw))
-        P2 = triangulate.projection_matrix(jnp.asarray(K),
-                                           jnp.asarray(Tcw2_pairs))
-        X = triangulate.triangulate_dlt_pairs(
-            P1, P2, jnp.asarray(uv1), jnp.asarray(uv2p))
-        chk = triangulate.check_triangulation_pairs(
-            X, jnp.asarray(kf1.Tcw), jnp.asarray(Tcw2_pairs),
-            jnp.asarray(uv1), jnp.asarray(uv2p),
-            fx, fy, cx, cy, jnp.asarray(sig1), jnp.asarray(sig2))
-        good_all, X_all = jax.device_get((chk.good, X))
-        good = np.array(good_all[:n_pairs])  # device_get views are read-only
-        Xn = X_all[:n_pairs]
-
-        # scale-consistency gate (src/LocalMapping.cc:455-470)
-        o2_pairs = np.stack([e[3] for e in elig])[nb_all]
-        d1 = np.linalg.norm(Xn - o1, axis=-1)
-        d2 = np.linalg.norm(Xn - o2_pairs, axis=-1)
-        ratio_dist = d2 / np.maximum(d1, 1e-9)
-        ratio_oct = (self.scale_factors[f1.octave[rows_all]]
-                     / self.scale_factors[col_oct])
-        rf = 1.5 * cfg.orb.scale_factor
-        good &= (ratio_dist < ratio_oct * rf) & (ratio_dist > ratio_oct / rf)
+            jnp.asarray(F12_s), jnp.asarray(epi_s), jnp.asarray(Tcw2_s),
+            jnp.asarray(o2_s), jnp.asarray(nb_valid),
+            jnp.asarray(K.astype(np.float32)), self._j_sigma2,
+            self._j_scales,
+            fx, fy, cx, cy, float(1.5 * cfg.orb.scale_factor)))
 
         new_pids: List[int] = []
-        for j in np.where(good)[0]:
-            r, c = int(rows_all[j]), int(cols_all[j])
-            kid2 = elig[nb_all[j]][0]
+        for r in np.where(good)[0]:
+            kid2 = elig[nb[r]][0]
             f2 = store.kfs[kid2].frame
+            c = int(col[r])
             if f1.mp_ids[r] >= 0 or f2.mp_ids[c] >= 0:
                 continue
             pid = store.add_point(
-                pos=Xn[j], desc=f1.desc[r],
+                pos=X[r], desc=f1.desc[r],
                 normal=np.array([0, 0, 1.0], np.float32),
                 min_dist=0.1, max_dist=100.0, first_kf=kid,
                 first_frame=f1.frame_id)
-            store.add_observation(pid, kid, r)
+            store.add_observation(pid, kid, int(r))
             store.add_observation(pid, kid2, c)
             new_pids.append(pid)
             self.recent_points.append(pid)
