@@ -95,3 +95,28 @@ class TestEstimatedMode:
         ate = synth.ate_rmse(est_c, gt_c, align="se3")
         # world units: camera flies at height 10, moves 0.3/frame
         assert ate < 0.10, f"ATE {ate:.4f}"
+
+
+class TestFailureRecovery:
+    def test_reset_when_lost_early(self, world):
+        """Tracking lost with <= 5 keyframes wipes the map and restarts
+        initialization (src/Tracking.cc:339-344)."""
+        poses = synth.aerial_trajectory(8, speed=0.3)
+        sys = System(make_config(pose_prior=True), enable_loop_closing=False)
+        for i, T in enumerate(poses[:6]):
+            sys.track_monocular_with_pose(synth.render(world, CAM, T),
+                                          i * 0.1, T)
+        assert sys.state == TrackState.OK
+        assert sys.store.n_valid_keyframes() <= 5
+        # feed garbage: tracking must fail and trigger a full reset
+        rng = np.random.default_rng(0)
+        noise = rng.uniform(0, 255, (480, 640)).astype(np.float32)
+        sys.track_monocular_with_pose(noise, 9.0, poses[6])
+        assert sys.state in (TrackState.NO_IMAGES_YET,
+                             TrackState.NOT_INITIALIZED)
+        assert sys.store.n_valid_keyframes() == 0
+        # and it can re-initialize afterwards
+        for i, T in enumerate(poses):
+            sys.track_monocular_with_pose(synth.render(world, CAM, T),
+                                          20.0 + i * 0.1, T)
+        assert sys.state == TrackState.OK
