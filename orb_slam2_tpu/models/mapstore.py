@@ -410,7 +410,8 @@ class MapStore:
         for other in list(self.covis[kid]):
             self.covis[other].pop(kid, None)
         self.covis[kid].clear()
-        # drop observations
+        # drop observations; survivors refresh in one batched pass
+        survivors = []
         for i, pid in enumerate(kf.frame.mp_ids):
             if pid >= 0 and self.mp_valid[pid]:
                 obs = self.mp_obs[pid]
@@ -418,8 +419,8 @@ class MapStore:
                 if len(obs) <= 2:
                     self.erase_point(pid)
                 else:
-                    self.update_normal_and_depth(pid)
-                    self.update_point_descriptor(pid)
+                    survivors.append(pid)
+        self.update_points_batch(survivors)
         # reparent children: candidates start with the parent, each child
         # connects to the candidate with max covisibility (src/KeyFrame.cc:640-690)
         candidates = {kf.parent} if kf.parent >= 0 else set()
