@@ -42,6 +42,34 @@ def compute_F12(T1: np.ndarray, T2: np.ndarray, K: np.ndarray) -> np.ndarray:
     return (Kinv.T @ tx @ R12 @ Kinv).astype(np.float32)
 
 
+def _fuse_one(pos, normal, min_d, max_d, pvalid, desc,
+              Tcw, kxy, koct, kdesc, kvalid,
+              scale_factors, fx, fy, cx, cy, bounds,
+              n_levels, log_scale, th, ratio):
+    fr = frustum.is_in_frustum(
+        pos, normal, min_d, max_d, pvalid, Tcw,
+        fx, fy, cx, cy, bounds, n_levels, log_scale)
+    r = search.search_by_projection_local_map(
+        fr.uv, fr.pred_level, fr.view_cos, desc, fr.visible,
+        kxy, koct, kdesc, kvalid, jnp.zeros_like(kvalid),
+        scale_factors, th=th, ratio=ratio)
+    return r.idx, r.dist, r.valid
+
+
+def _fuse_stack_impl(pos, normal, min_d, max_d, pvalid, desc,
+                     Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
+                     scale_factors, fx, fy, cx, cy, bounds,
+                     n_levels, log_scale, th, ratio):
+    def body(args):
+        Tcw, kxy, koct, kdesc, kvalid = args
+        return _fuse_one(pos, normal, min_d, max_d, pvalid, desc,
+                         Tcw, kxy, koct, kdesc, kvalid,
+                         scale_factors, fx, fy, cx, cy, bounds,
+                         n_levels, log_scale, th, ratio)
+
+    return jax.lax.map(body, (Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th",
     "ratio"))
@@ -51,18 +79,36 @@ def _fuse_project_stack(pos, normal, min_d, max_d, pvalid, desc,
                         n_levels, log_scale, th=3.0, ratio=1.0):
     """One shared point set projected into MANY target keyframes
     (forward ORBmatcher::Fuse over all fuse targets) in one jit call."""
-    def body(args):
-        Tcw, kxy, koct, kdesc, kvalid = args
-        fr = frustum.is_in_frustum(
-            pos, normal, min_d, max_d, pvalid, Tcw,
-            fx, fy, cx, cy, bounds, n_levels, log_scale)
-        r = search.search_by_projection_local_map(
-            fr.uv, fr.pred_level, fr.view_cos, desc, fr.visible,
-            kxy, koct, kdesc, kvalid, jnp.zeros_like(kvalid),
-            scale_factors, th=th, ratio=ratio)
-        return r.idx, r.dist, r.valid
+    return _fuse_stack_impl(pos, normal, min_d, max_d, pvalid, desc,
+                            Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
+                            scale_factors, fx, fy, cx, cy, bounds,
+                            n_levels, log_scale, th, ratio)
 
-    return jax.lax.map(body, (Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s))
+
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th",
+    "ratio"))
+def _fuse_both_directions(
+        own_pos, own_normal, own_min, own_max, own_valid, own_desc,
+        Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
+        cand_pos, cand_normal, cand_min, cand_max, cand_valid, cand_desc,
+        Tcw0, kxy0, koct0, kdesc0, kvalid0,
+        scale_factors, fx, fy, cx, cy, bounds,
+        n_levels, log_scale, th=3.0, ratio=1.0):
+    """Forward fuse (this KF's points into every target) AND reverse
+    fuse (the targets' points into this KF) in ONE dispatch
+    (src/LocalMapping.cc:548-586 runs them as 20+1 sequential calls)."""
+    fwd = _fuse_stack_impl(
+        own_pos, own_normal, own_min, own_max, own_valid, own_desc,
+        Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
+        scale_factors, fx, fy, cx, cy, bounds,
+        n_levels, log_scale, th, ratio)
+    rev = _fuse_one(cand_pos, cand_normal, cand_min, cand_max,
+                    cand_valid, cand_desc,
+                    Tcw0, kxy0, koct0, kdesc0, kvalid0,
+                    scale_factors, fx, fy, cx, cy, bounds,
+                    n_levels, log_scale, th, ratio)
+    return fwd, rev
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -470,14 +516,12 @@ class LocalMapper:
                     second.append(t2)
         all_targets = targets + second
 
-        # forward: this KF's points into each neighbor — all targets in
-        # ONE device call (the reference loops them, src/LocalMapping.cc
-        # :548-556)
+        # forward (this KF's points into each neighbor) and reverse
+        # (neighbors' points into this KF) in ONE device call — the
+        # reference runs them as 20+1 sequential searches
+        # (src/LocalMapping.cc:548-586)
         own = [p for p in store.kfs[kid].frame.mp_ids
                if p >= 0 and store.mp_valid[p]]
-        if own and all_targets:
-            self._fuse_batch(all_targets, own)
-        # reverse: neighbors' points into this KF
         cand = []
         seen = set(own)
         for t in all_targets:
@@ -485,11 +529,77 @@ class LocalMapper:
                 if p >= 0 and p not in seen and store.mp_valid[p]:
                     seen.add(p)
                     cand.append(p)
-        self._fuse_into_kf(kid, cand)
+        cand = [p for p in cand if kid not in store.mp_obs[p]]
+        if own and all_targets and cand:
+            self._fuse_combined(kid, all_targets, own, cand)
+        else:
+            if own and all_targets:
+                self._fuse_batch(all_targets, own)
+            if cand:
+                self._fuse_into_kf(kid, cand)
         # refresh (batched: one native medoid call + segment sums)
         store.update_points_batch(
             [p for p in store.kfs[kid].frame.mp_ids if p >= 0])
         store.update_connections(kid)
+
+    def _fuse_combined(self, kid: int, target_kids: List[int],
+                       own: List[int], cand: List[int]):
+        """Both fuse directions in one dispatch + one batched read."""
+        store = self.store
+        cfg = self.cfg
+        f0 = store.kfs[kid].frame
+
+        own_soa = store.points_soa(own)
+        P1 = pad_bucket(len(own))
+        pad1 = P1 - len(own)
+        cand_soa = store.points_soa(cand)
+        P2 = pad_bucket(len(cand))
+        pad2 = P2 - len(cand)
+
+        T = len(target_kids)
+        Tp = ((T + 3) // 4) * 4
+        n2 = max(store.kfs[t].frame.n for t in target_kids)
+        frames_t = [store.kfs[t].frame for t in target_kids]
+        stack_list = frames_t + [frames_t[0]] * (Tp - T)
+
+        def dstack(name):
+            return jnp.stack([fr.dev_padded(name, n2) for fr in stack_list])
+
+        Tcw_s = np.tile(np.eye(4, dtype=np.float32), (Tp, 1, 1))
+        kvalid = np.zeros((Tp, n2), bool)
+        for b, t in enumerate(target_kids):
+            Tcw_s[b] = store.kfs[t].Tcw
+            kvalid[b, :frames_t[b].n] = frames_t[b].valid
+
+        fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
+                          float(cfg.cam.cx), float(cfg.cam.cy))
+        from ..geom.camera import undistorted_bounds
+        bounds = undistorted_bounds(cfg.cam)
+
+        def pad_soa(soa, P, pad):
+            return (jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
+                    jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
+                    jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
+                    jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
+                    jnp.asarray(np.pad(soa["valid"], (0, pad))),
+                    jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))))
+
+        fwd, rev = _fuse_both_directions(
+            *pad_soa(own_soa, P1, pad1),
+            jnp.asarray(Tcw_s), dstack("xy"), dstack("octave"),
+            dstack("desc"), jnp.asarray(kvalid),
+            *pad_soa(cand_soa, P2, pad2),
+            jnp.asarray(store.kfs[kid].Tcw),
+            f0.dev("xy"), f0.dev("octave"), f0.dev("desc"),
+            f0.dev("valid"),
+            self._j_scales,
+            fx, fy, cx, cy, bounds, cfg.orb.n_levels, self.log_scale,
+            th=3.0, ratio=1.0)
+        (sidx, sdist, svalid), (ridx, rdist, rvalid) = jax.device_get(
+            (fwd, rev))
+        for b, t in enumerate(target_kids):
+            self._apply_fuse(t, own, svalid[b], sidx[b], sdist[b])
+        self._apply_fuse(kid, cand, rvalid, ridx, rdist)
 
     def _apply_fuse(self, kid: int, pids: List[int], rvalid, ridx, rdist):
         """Shared fuse decision loop (ORBmatcher::Fuse tail,
