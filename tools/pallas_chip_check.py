@@ -1,3 +1,5 @@
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, numpy as np, jax, jax.numpy as jnp
 print("platform:", jax.devices()[0], flush=True)
 from orb_slam2_tpu.matching import pallas_hamming as ph
