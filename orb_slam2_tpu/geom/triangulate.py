@@ -4,15 +4,23 @@ Replaces Initializer::triangulate / triangulatePoints
 (src/Initializer.cc:56-105, 170-328) and the per-match triangulation in
 LocalMapping::CreateNewMapPoints (src/LocalMapping.cc:346-492).
 
-The reference triangulates one match at a time with cv::SVD; here the
-whole match set is one batched 4x4 SVD (or the equivalent smallest-
-eigenvector problem of A^T A, which XLA maps well to the MXU).
+The reference triangulates one match at a time with cv::SVD.  Here the
+whole match set solves in one batched closed-form step: the
+inhomogeneous DLT (fix w=1, solve the 3x3 normal equations of the four
+DLT rows by adjugate inverse).  This is branch-free elementwise math —
+no eigh/SVD iteration loops, which on TPU cost ~1000x more than the
+arithmetic and minutes of XLA compile time for large batches.  Points
+"at infinity" (w ~ 0) come out garbage-but-finite and are rejected by
+the depth/reprojection/parallax gates, exactly like the reference's
+!isfinite check (src/Initializer.cc:237-241, src/LocalMapping.cc:398).
 """
 from __future__ import annotations
 
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+from .smallsolve import solve3x3
 
 
 def projection_matrix(K: jnp.ndarray, Tcw: jnp.ndarray) -> jnp.ndarray:
@@ -29,9 +37,9 @@ def triangulate_dlt(
     uv1, uv2: (..., N, 2) undistorted pixel coords.
     Returns world points (..., N, 3).
 
-    Same 4x4 SVD construction as Initializer::triangulate
-    (src/Initializer.cc:56-105), batched.  Rows are normalized first for
-    float32 conditioning.
+    Same 4-row DLT construction as Initializer::triangulate
+    (src/Initializer.cc:56-105), batched; solved in closed form via the
+    inhomogeneous normal equations (rows normalized for conditioning).
     """
     def rows(P, uv):
         r0 = uv[..., 0:1] * P[..., 2, :] - P[..., 0, :]
@@ -41,15 +49,7 @@ def triangulate_dlt(
     a0, a1 = rows(P1[..., None, :, :], uv1)
     a2, a3 = rows(P2[..., None, :, :], uv2)
     A = jnp.stack([a0, a1, a2, a3], axis=-2)  # (..., N, 4, 4)
-    A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
-    # Smallest right-singular vector of A == eigenvector of A^T A with
-    # smallest eigenvalue. eigh on 4x4 symmetric batches is fast + stable.
-    AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    X = vecs[..., :, 0]  # ascending eigenvalues -> first column
-    w = X[..., 3]
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return X[..., :3] / w[..., None]
+    return _solve_dlt_rows(A)
 
 
 def triangulate_dlt_pairs(
@@ -68,13 +68,20 @@ def triangulate_dlt_pairs(
     a0, a1 = rows(P1[None, :, :], uv1)
     a2, a3 = rows(P2, uv2)
     A = jnp.stack([a0, a1, a2, a3], axis=-2)
+    return _solve_dlt_rows(A)
+
+
+def _solve_dlt_rows(A: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4, 4) DLT rows -> (..., 3) world point.
+
+    min_x ||A [x; 1]||^2 = solve (A3^T A3) x = -A3^T a4 where A3 =
+    A[..., :3], a4 = A[..., 3].  Closed form 3x3 adjugate solve."""
     A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
-    AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    X = vecs[..., :, 0]
-    w = X[..., 3]
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return X[..., :3] / w[..., None]
+    A3 = A[..., :3]
+    a4 = A[..., 3]
+    H = jnp.einsum("...ri,...rj->...ij", A3, A3)
+    b = -jnp.einsum("...ri,...r->...i", A3, a4)
+    return solve3x3(H, b)
 
 
 class TriangulationCheck(NamedTuple):

@@ -13,10 +13,11 @@ tiles the computation on the MXU and keeps everything in VMEM:
 HBM traffic drops from O(N*M) to O(N + M); for the 4000x4000 frame-
 match case that is 64 MB -> 250 KB.
 
-API: :func:`hamming_top2` returns (best_dist, best_idx, second_dist)
-per row.  Column-validity masking happens in-kernel; call it twice with
-swapped arguments for a mutual-best check.  Falls back to the XLA path
-off-TPU (and under ``interpret=True`` in tests).
+API: :func:`hamming_top2_auto` returns (best_dist, best_idx,
+second_dist) per row, dispatching to the Pallas kernel on TPU and the
+XLA path (:func:`hamming_top2_xla`) on any other backend.
+:func:`hamming_top2` is the raw TPU kernel (also runnable with
+``interpret=True`` in tests).
 """
 from __future__ import annotations
 
@@ -127,6 +128,24 @@ def hamming_top2(desc1: jnp.ndarray, desc2: jnp.ndarray,
     )(desc1, desc2, v2)
     return (best[:, 0, :].reshape(N), idx[:, 0, :].reshape(N),
             second[:, 0, :].reshape(N))
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    import jax as _jax
+    try:
+        return _jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def hamming_top2_auto(desc1, desc2, valid2):
+    """Backend-dispatching fused Hamming top-2: Pallas kernel on TPU,
+    XLA matmul path elsewhere (the kernel's Mosaic lowering is
+    TPU-only)."""
+    if _on_tpu():
+        return hamming_top2(desc1, desc2, valid2)
+    return hamming_top2_xla(desc1, desc2, valid2)
 
 
 def hamming_top2_xla(desc1, desc2, valid2):

@@ -230,8 +230,10 @@ def _sim3_directional_match(pc_src, desc_src, valid_src, max_dist_src,
     minx, maxx, miny, maxy = bounds
     in_img = (u >= minx) & (u < maxx) & (v >= miny) & (v < maxy)
     dist = jnp.linalg.norm(pc, axis=-1)
+    # scale-invariance slack 0.8/1.2 (GetMin/MaxDistanceInvariance,
+    # src/MapPoint.cc:570-585 via ORBmatcher.cc:1467-1468)
     min_d = max_dist_src / scale_factors[n_levels - 1]
-    dist_ok = (dist >= min_d) & (dist <= max_dist_src)
+    dist_ok = (dist >= 0.8 * min_d) & (dist <= 1.2 * max_dist_src)
     ratio_d = jnp.maximum(max_dist_src, 1e-12) / jnp.maximum(dist, 1e-12)
     lvl = jnp.clip(jnp.ceil(jnp.log(ratio_d) / log_scale).astype(jnp.int32),
                    0, n_levels - 1)
@@ -239,8 +241,9 @@ def _sim3_directional_match(pc_src, desc_src, valid_src, max_dist_src,
 
     row_ok = valid_src & (z > 0) & in_img & dist_ok
     uv = jnp.stack([u, v], axis=-1)
+    # candidate octave band [pred-1, pred] (src/ORBmatcher.cc:1494)
     lvl_ok = (kp_octave[None, :] >= lvl[:, None] - 1) & (
-        kp_octave[None, :] <= lvl[:, None] + 1)
+        kp_octave[None, :] <= lvl[:, None])
     dmat = core.hamming_matrix(desc_src, kp_desc)
     mask = (row_ok[:, None] & kp_valid[None, :]
             & lvl_ok & _chebyshev_window_mask(uv, kp_xy, radius))

@@ -63,7 +63,12 @@ class _GrowArray:
 
     def append(self, value):
         if self._n == len(self._buf):
-            extra = np.full_like(self._buf, self._fill)
+            # grow to max(64, 2x) rows — a buffer restored from
+            # zero-length data (serialize.load_map of an empty map)
+            # must still gain capacity
+            grow = max(64, len(self._buf))
+            shape = (grow,) + self._buf.shape[1:]
+            extra = np.full(shape, self._fill, self._buf.dtype)
             self._buf = np.concatenate([self._buf, extra])
         self._buf[self._n] = value
         self._n += 1

@@ -178,16 +178,29 @@ int64_t kfdb_query(void* h, const int64_t* words, const float* weights,
       slot.second += fa + fb - fd;
     }
   }
-  int64_t m = 0;
+  // collect survivors, then keep the top-max_out by shared-word count
+  // (hash iteration order must not decide which candidates are dropped)
+  std::vector<std::tuple<int32_t, int32_t, float>> hits;  // (count, kid, score)
+  hits.reserve(acc.size());
   for (const auto& [kid, cs] : acc) {
     if (cs.first < min_common) continue;
     if (n_exclude > 0 &&
         std::binary_search(exclude, exclude + n_exclude, kid))
       continue;
-    if (m >= max_out) break;
+    hits.emplace_back(cs.first, kid, 0.5f * cs.second);
+  }
+  if ((int64_t)hits.size() > max_out) {
+    std::partial_sort(hits.begin(), hits.begin() + max_out, hits.end(),
+                      [](const auto& x, const auto& y) {
+                        return std::get<0>(x) > std::get<0>(y);
+                      });
+    hits.resize(max_out);
+  }
+  int64_t m = 0;
+  for (const auto& [count, kid, score] : hits) {
     out_kids[m] = kid;
-    out_counts[m] = cs.first;
-    out_scores[m] = 0.5f * cs.second;
+    out_counts[m] = count;
+    out_scores[m] = score;
     ++m;
   }
   return m;

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geom import se3
+from ..geom.smallsolve import adjugate3x3
 from . import reproj
 
 CHI2_MONO = 5.991
@@ -99,7 +100,9 @@ def _solve_step(Hcc, Hpp, gc, gp, W, obs_cam, obs_pt, lam, fixed_cam, psum,
         jnp.trace(Hcc, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-6) + 1e-8 * eye6
     Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
         jnp.trace(Hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6) + 1e-8 * eye3
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    # closed-form batched 3x3 inverse (LU lowering is iterative on TPU)
+    adj, det = adjugate3x3(Hpp_d)
+    Hpp_inv = adj / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)[:, None, None]
 
     # Schur RHS: gc_hat = -(gc - W Hpp^-1 gp), zero for fixed cams.
     hig = jnp.einsum("pab,pb->pa", Hpp_inv, gp)           # (P, 3)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from . import reproj
+from ..geom.smallsolve import solve3x3
 
 CHI2_MONO = 5.991
 
@@ -68,7 +69,7 @@ def optimize_points(
         H, g, cost0 = assemble(points)
         Hd = H + lam[:, None, None] * jnp.eye(3) * jnp.maximum(
             jnp.trace(H, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6)
-        delta = -jnp.linalg.solve(Hd + 1e-9 * jnp.eye(3), g[..., None])[..., 0]
+        delta = -solve3x3(Hd + 1e-9 * jnp.eye(3), g)
         cand = points + delta
         _, _, cost1 = assemble(cand)
         accept = cost1 < cost0

@@ -210,12 +210,14 @@ def gather_ba_problem(store: MapStore, kf_ids: List[int], inv_sigma2):
 
 
 def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
-                     iters: int = 10):
+                     iters: int = 10, timer: StageTimer | None = None):
     """Fixed-pose local BA == independent point refinement
     (src/Optimizer.cc:328-637 with fixedPose=true)."""
+    timer = timer or StageTimer()
     from ..ops.extractor import level_sigma2
     inv_sigma2 = (1.0 / level_sigma2(cfg.orb)).astype(np.float32)
-    pids, packed = gather_ba_problem(store, kf_ids, inv_sigma2)
+    with timer.time("sba/gather"):
+        pids, packed = gather_ba_problem(store, kf_ids, inv_sigma2)
     if packed is None or len(pids) == 0:
         return
     obs_kf, obs_pt, obs_uv, obs_sig, meta = packed
@@ -228,38 +230,40 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
     obs_Tcw = poses[obs_kf]
     fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
                       float(cfg.cam.cx), float(cfg.cam.cy))
-    res = points_opt.optimize_points(
-        jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
-        jnp.asarray(np.pad(obs_pt, (0, padO))),
-        jnp.asarray(np.pad(obs_Tcw, ((0, padO), (0, 0), (0, 0)))),
-        jnp.asarray(np.pad(obs_uv, ((0, padO), (0, 0)))),
-        jnp.asarray(np.pad(obs_sig, (0, padO))),
-        jnp.asarray(np.pad(np.ones(len(obs_kf), bool), (0, padO))),
-        fx, fy, cx, cy, iters=iters)
-    new_pts_all, inl_all = jax.device_get((res.points, res.obs_inlier))
-    new_pts = new_pts_all[:len(pids)]
-    inl = inl_all[:len(obs_kf)]
-    for j, p in enumerate(pids):
-        store.mp_pos[p] = new_pts[j]
-    # erase outlier observations (the reference's post-BA edge removal,
-    # src/Optimizer.cc:560-600)
-    meta_kid, meta_fi = meta
-    for o in np.where(~inl)[0]:
-        pid = pids[obs_pt[o]]
-        if store.mp_valid[pid]:
-            store.erase_observation(pid, int(meta_kid[o]))
-    store.update_points_batch(pids)
+    with timer.time("sba/device"):
+        res = points_opt.optimize_points(
+            jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
+            jnp.asarray(np.pad(obs_pt, (0, padO))),
+            jnp.asarray(np.pad(obs_Tcw, ((0, padO), (0, 0), (0, 0)))),
+            jnp.asarray(np.pad(obs_uv, ((0, padO), (0, 0)))),
+            jnp.asarray(np.pad(obs_sig, (0, padO))),
+            jnp.asarray(np.pad(np.ones(len(obs_kf), bool), (0, padO))),
+            fx, fy, cx, cy, iters=iters)
+        new_pts_all, inl_all = jax.device_get((res.points, res.obs_inlier))
+    with timer.time("sba/apply"):
+        new_pts = new_pts_all[:len(pids)]
+        inl = inl_all[:len(obs_kf)]
+        store.mp_pos[np.asarray(pids, np.int64)] = new_pts
+        # erase outlier observations (the reference's post-BA edge
+        # removal, src/Optimizer.cc:560-600)
+        meta_kid, meta_fi = meta
+        for o in np.where(~inl)[0]:
+            pid = pids[obs_pt[o]]
+            if store.mp_valid[pid]:
+                store.erase_observation(pid, int(meta_kid[o]))
+        store.update_points_batch(pids)
 
 
 def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
-                 fixed_pose: bool = False, iters: int = 10):
+                 fixed_pose: bool = False, iters: int = 10,
+                 timer: StageTimer | None = None):
     """LocalBundleAdjustment (src/Optimizer.cc:328-637): local KFs =
     center + its covisibles; fixed KFs = all other observers of the
     local points (plus KF 0)."""
     local = [center_kf] + [k for k in store.covis[center_kf]
                            if store.kfs[k].valid]
     if fixed_pose:
-        run_structure_ba(store, local, cfg, iters=iters)
+        run_structure_ba(store, local, cfg, iters=iters, timer=timer)
         return
     local_set = set(local)
     # points seen by local KFs
@@ -372,7 +376,8 @@ class LocalMapper:
             with self.timer.time("mapping/local_ba"):
                 run_local_ba(store, kid, self.cfg,
                              fixed_pose=self.cfg.pose_prior,
-                             iters=self.cfg.local_ba_iters)
+                             iters=self.cfg.local_ba_iters,
+                             timer=self.timer)
         with self.timer.time("mapping/cull_keyframes"):
             self._cull_keyframes(kid)
         # glog-equivalent of src/LocalMapping.cc:101-103
@@ -425,82 +430,87 @@ class LocalMapper:
                           float(cfg.cam.cx), float(cfg.cam.cy))
 
         # --- eligible neighbors + F12/epipole, all host math ---
-        elig = []
-        for kid2 in neighbors:
-            kf2 = store.kfs[kid2]
-            o2 = store.kf_center(kid2)
-            baseline = float(np.linalg.norm(o1 - o2))
-            med_depth = store.scene_median_depth(kid2)
-            if med_depth <= 0 or baseline / med_depth < cfg.min_baseline_depth_ratio:
-                continue
-            F12 = compute_F12(kf1.Tcw, kf2.Tcw, K)
-            pc = kf2.Tcw[:3, :3] @ o1 + kf2.Tcw[:3, 3]
-            z = pc[2] if abs(pc[2]) > 1e-9 else 1e-9
-            uv_e = np.array([fx * pc[0] / z + cx, fy * pc[1] / z + cy],
-                            np.float32)
-            elig.append((kid2, F12, uv_e, o2))
-        if not elig:
-            store.update_connections(kid)
-            return
+        with self.timer.time("tri/prep_host"):
+            elig = []
+            for kid2 in neighbors:
+                kf2 = store.kfs[kid2]
+                o2 = store.kf_center(kid2)
+                baseline = float(np.linalg.norm(o1 - o2))
+                med_depth = store.scene_median_depth(kid2)
+                if med_depth <= 0 or baseline / med_depth < cfg.min_baseline_depth_ratio:
+                    continue
+                F12 = compute_F12(kf1.Tcw, kf2.Tcw, K)
+                pc = kf2.Tcw[:3, :3] @ o1 + kf2.Tcw[:3, 3]
+                z = pc[2] if abs(pc[2]) > 1e-9 else 1e-9
+                uv_e = np.array([fx * pc[0] / z + cx, fy * pc[1] / z + cy],
+                                np.float32)
+                elig.append((kid2, F12, uv_e, o2))
+            if not elig:
+                store.update_connections(kid)
+                return
 
-        # --- stack neighbor frames ON DEVICE (cached padded copies):
-        # only the small dynamic validity masks cross the tunnel ---
-        B = len(elig)
-        Bp = ((B + 3) // 4) * 4
-        n2 = max(store.kfs[e[0]].frame.n for e in elig)
-        frames2 = [store.kfs[e[0]].frame for e in elig]
-        stack_list = frames2 + [frames2[0]] * (Bp - B)
+            # --- stack neighbor frames ON DEVICE (cached padded copies):
+            # only the small dynamic validity masks cross the tunnel ---
+            B = len(elig)
+            Bp = ((B + 3) // 4) * 4
+            n2 = max(store.kfs[e[0]].frame.n for e in elig)
+            frames2 = [store.kfs[e[0]].frame for e in elig]
+            stack_list = frames2 + [frames2[0]] * (Bp - B)
 
-        def dstack(name):
-            return jnp.stack([fr.dev_padded(name, n2) for fr in stack_list])
+            def dstack(name):
+                return jnp.stack([fr.dev_padded(name, n2) for fr in stack_list])
 
-        valid2 = np.zeros((Bp, n2), bool)
-        F12_s = np.tile(np.eye(3, dtype=np.float32), (Bp, 1, 1))
-        epi_s = np.zeros((Bp, 2), np.float32)
-        Tcw2_s = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
-        o2_s = np.zeros((Bp, 3), np.float32)
-        nb_valid = np.zeros(Bp, bool)
-        for b, (kid2, F12, uv_e, o2) in enumerate(elig):
-            f2 = frames2[b]
-            m = f2.n
-            valid2[b, :m] = (f2.mp_ids < 0) & f2.valid
-            F12_s[b] = F12
-            epi_s[b] = uv_e
-            Tcw2_s[b] = store.kfs[kid2].Tcw
-            o2_s[b] = o2
-            nb_valid[b] = True
+            valid2 = np.zeros((Bp, n2), bool)
+            F12_s = np.tile(np.eye(3, dtype=np.float32), (Bp, 1, 1))
+            epi_s = np.zeros((Bp, 2), np.float32)
+            Tcw2_s = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
+            o2_s = np.zeros((Bp, 3), np.float32)
+            nb_valid = np.zeros(Bp, bool)
+            for b, (kid2, F12, uv_e, o2) in enumerate(elig):
+                f2 = frames2[b]
+                m = f2.n
+                valid2[b, :m] = (f2.mp_ids < 0) & f2.valid
+                F12_s[b] = F12
+                epi_s[b] = uv_e
+                Tcw2_s[b] = store.kfs[kid2].Tcw
+                o2_s[b] = o2
+                nb_valid[b] = True
 
         # the WHOLE device side (search -> select -> DLT -> gates) in
         # one dispatch + one batched read
-        good, X, nb, col = jax.device_get(_triangulate_neighbors_fused(
-            f1.dev("xy"), f1.dev("desc"), jnp.asarray(unbound1),
-            f1.dev("octave"), f1.dev("angle"), jnp.asarray(kf1.Tcw),
-            dstack("xy"), dstack("desc"), jnp.asarray(valid2),
-            dstack("octave"), dstack("angle"),
-            jnp.asarray(F12_s), jnp.asarray(epi_s), jnp.asarray(Tcw2_s),
-            jnp.asarray(o2_s), jnp.asarray(nb_valid),
-            jnp.asarray(K.astype(np.float32)), self._j_sigma2,
-            self._j_scales,
-            fx, fy, cx, cy, float(1.5 * cfg.orb.scale_factor)))
+        with self.timer.time("tri/device"):
+            good, X, nb, col = jax.device_get(_triangulate_neighbors_fused(
+                f1.dev("xy"), f1.dev("desc"), jnp.asarray(unbound1),
+                f1.dev("octave"), f1.dev("angle"), jnp.asarray(kf1.Tcw),
+                dstack("xy"), dstack("desc"), jnp.asarray(valid2),
+                dstack("octave"), dstack("angle"),
+                jnp.asarray(F12_s), jnp.asarray(epi_s), jnp.asarray(Tcw2_s),
+                jnp.asarray(o2_s), jnp.asarray(nb_valid),
+                jnp.asarray(K.astype(np.float32)), self._j_sigma2,
+                self._j_scales,
+                fx, fy, cx, cy, float(1.5 * cfg.orb.scale_factor)))
 
-        new_pids: List[int] = []
-        for r in np.where(good)[0]:
-            kid2 = elig[nb[r]][0]
-            f2 = store.kfs[kid2].frame
-            c = int(col[r])
-            if f1.mp_ids[r] >= 0 or f2.mp_ids[c] >= 0:
-                continue
-            pid = store.add_point(
-                pos=X[r], desc=f1.desc[r],
-                normal=np.array([0, 0, 1.0], np.float32),
-                min_dist=0.1, max_dist=100.0, first_kf=kid,
-                first_frame=f1.frame_id)
-            store.add_observation(pid, kid, int(r))
-            store.add_observation(pid, kid2, c)
-            new_pids.append(pid)
-            self.recent_points.append(pid)
-        store.update_points_batch(new_pids)
-        store.update_connections(kid)
+        with self.timer.time("tri/apply"):
+            new_pids: List[int] = []
+            for r in np.where(good)[0]:
+                kid2 = elig[nb[r]][0]
+                f2 = store.kfs[kid2].frame
+                c = int(col[r])
+                if f1.mp_ids[r] >= 0 or f2.mp_ids[c] >= 0:
+                    continue
+                pid = store.add_point(
+                    pos=X[r], desc=f1.desc[r],
+                    normal=np.array([0, 0, 1.0], np.float32),
+                    min_dist=0.1, max_dist=100.0, first_kf=kid,
+                    first_frame=f1.frame_id)
+                store.add_observation(pid, kid, int(r))
+                store.add_observation(pid, kid2, c)
+                new_pids.append(pid)
+                self.recent_points.append(pid)
+        with self.timer.time("tri/update_points"):
+            store.update_points_batch(new_pids)
+        with self.timer.time("tri/update_conn"):
+            store.update_connections(kid)
 
     # ------------------------------------------------------------------
     def _fuse_neighbors(self, kid: int):
@@ -508,28 +518,29 @@ class LocalMapper:
         neighbors' map points into this KF and vice versa, merging
         duplicates."""
         store = self.store
-        targets = store.get_best_covisibles(kid, 20)
-        second = []
-        for t in targets:
-            for t2 in store.get_best_covisibles(t, 5):
-                if t2 != kid and t2 not in targets and t2 not in second:
-                    second.append(t2)
-        all_targets = targets + second
+        with self.timer.time("fuse/collect"):
+            targets = store.get_best_covisibles(kid, 20)
+            second = []
+            for t in targets:
+                for t2 in store.get_best_covisibles(t, 5):
+                    if t2 != kid and t2 not in targets and t2 not in second:
+                        second.append(t2)
+            all_targets = targets + second
 
-        # forward (this KF's points into each neighbor) and reverse
-        # (neighbors' points into this KF) in ONE device call — the
-        # reference runs them as 20+1 sequential searches
-        # (src/LocalMapping.cc:548-586)
-        own = [p for p in store.kfs[kid].frame.mp_ids
-               if p >= 0 and store.mp_valid[p]]
-        cand = []
-        seen = set(own)
-        for t in all_targets:
-            for p in store.kfs[t].frame.mp_ids:
-                if p >= 0 and p not in seen and store.mp_valid[p]:
-                    seen.add(p)
-                    cand.append(p)
-        cand = [p for p in cand if kid not in store.mp_obs[p]]
+            # forward (this KF's points into each neighbor) and reverse
+            # (neighbors' points into this KF) in ONE device call — the
+            # reference runs them as 20+1 sequential searches
+            # (src/LocalMapping.cc:548-586)
+            own = [p for p in store.kfs[kid].frame.mp_ids
+                   if p >= 0 and store.mp_valid[p]]
+            cand = []
+            seen = set(own)
+            for t in all_targets:
+                for p in store.kfs[t].frame.mp_ids:
+                    if p >= 0 and p not in seen and store.mp_valid[p]:
+                        seen.add(p)
+                        cand.append(p)
+            cand = [p for p in cand if kid not in store.mp_obs[p]]
         if own and all_targets and cand:
             self._fuse_combined(kid, all_targets, own, cand)
         else:
@@ -538,9 +549,11 @@ class LocalMapper:
             if cand:
                 self._fuse_into_kf(kid, cand)
         # refresh (batched: one native medoid call + segment sums)
-        store.update_points_batch(
-            [p for p in store.kfs[kid].frame.mp_ids if p >= 0])
-        store.update_connections(kid)
+        with self.timer.time("fuse/update_points"):
+            store.update_points_batch(
+                [p for p in store.kfs[kid].frame.mp_ids if p >= 0])
+        with self.timer.time("fuse/update_conn"):
+            store.update_connections(kid)
 
     def _fuse_combined(self, kid: int, target_kids: List[int],
                        own: List[int], cand: List[int]):
@@ -584,22 +597,24 @@ class LocalMapper:
                     jnp.asarray(np.pad(soa["valid"], (0, pad))),
                     jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))))
 
-        fwd, rev = _fuse_both_directions(
-            *pad_soa(own_soa, P1, pad1),
-            jnp.asarray(Tcw_s), dstack("xy"), dstack("octave"),
-            dstack("desc"), jnp.asarray(kvalid),
-            *pad_soa(cand_soa, P2, pad2),
-            jnp.asarray(store.kfs[kid].Tcw),
-            f0.dev("xy"), f0.dev("octave"), f0.dev("desc"),
-            f0.dev("valid"),
-            self._j_scales,
-            fx, fy, cx, cy, bounds, cfg.orb.n_levels, self.log_scale,
-            th=3.0, ratio=1.0)
-        (sidx, sdist, svalid), (ridx, rdist, rvalid) = jax.device_get(
-            (fwd, rev))
-        for b, t in enumerate(target_kids):
-            self._apply_fuse(t, own, svalid[b], sidx[b], sdist[b])
-        self._apply_fuse(kid, cand, rvalid, ridx, rdist)
+        with self.timer.time("fuse/device"):
+            fwd, rev = _fuse_both_directions(
+                *pad_soa(own_soa, P1, pad1),
+                jnp.asarray(Tcw_s), dstack("xy"), dstack("octave"),
+                dstack("desc"), jnp.asarray(kvalid),
+                *pad_soa(cand_soa, P2, pad2),
+                jnp.asarray(store.kfs[kid].Tcw),
+                f0.dev("xy"), f0.dev("octave"), f0.dev("desc"),
+                f0.dev("valid"),
+                self._j_scales,
+                fx, fy, cx, cy, bounds, cfg.orb.n_levels, self.log_scale,
+                th=3.0, ratio=1.0)
+            (sidx, sdist, svalid), (ridx, rdist, rvalid) = jax.device_get(
+                (fwd, rev))
+        with self.timer.time("fuse/apply"):
+            for b, t in enumerate(target_kids):
+                self._apply_fuse(t, own, svalid[b], sidx[b], sdist[b])
+            self._apply_fuse(kid, cand, rvalid, ridx, rdist)
 
     def _apply_fuse(self, kid: int, pids: List[int], rvalid, ridx, rdist):
         """Shared fuse decision loop (ORBmatcher::Fuse tail,

@@ -215,9 +215,11 @@ class Tracker:
 
         ok = False
         if self.state == TrackState.OK:
-            self._refresh_replaced_bindings(self.last_frame)
+            with self.timer.time("track/refresh_replaced"):
+                self._refresh_replaced_bindings(self.last_frame)
             if self.cfg.pose_prior:
-                ok = self._track_with_prior(frame)
+                with self.timer.time("track/prior"):
+                    ok = self._track_with_prior(frame)
                 if not ok:
                     ok = self._track_reference_kf(frame)
             else:
@@ -236,8 +238,11 @@ class Tracker:
             self.state = TrackState.OK
             if not self.cfg.pose_prior and self.last_frame is not None:
                 self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
-            if self.mapping_enabled and self._need_new_keyframe(frame):
-                self._create_new_keyframe(frame)
+            with self.timer.time("track/need_kf"):
+                need = self.mapping_enabled and self._need_new_keyframe(frame)
+            if need:
+                with self.timer.time("track/create_kf"):
+                    self._create_new_keyframe(frame)
         else:
             self.state = TrackState.LOST
             self.velocity = None
@@ -496,16 +501,18 @@ class Tracker:
         mp_valid[:len(ids)] = True
 
         fx, fy, cx, cy = self._cam_tuple
-        res, gate = _match_last_fused(
-            jnp.asarray(Tcw_pred), jnp.asarray(pos), jnp.asarray(mp_valid),
-            jnp.asarray(ids_p),
-            last.dev("octave"), last.dev("desc"), last.dev("angle"),
-            frame.dev("xy"), frame.dev("octave"),
-            frame.dev("desc"), frame.dev("valid"),
-            frame.dev("angle"),
-            self._j_scales, self._j_inv_sigma2,
-            fx, fy, cx, cy, self.bounds, th, chi2)
-        rvalid, ridx, ggate = jax.device_get((res.valid, res.idx, gate))
+        with self.timer.time("prior/dispatch"):
+            res, gate = _match_last_fused(
+                jnp.asarray(Tcw_pred), jnp.asarray(pos), jnp.asarray(mp_valid),
+                jnp.asarray(ids_p),
+                last.dev("octave"), last.dev("desc"), last.dev("angle"),
+                frame.dev("xy"), frame.dev("octave"),
+                frame.dev("desc"), frame.dev("valid"),
+                frame.dev("angle"),
+                self._j_scales, self._j_inv_sigma2,
+                fx, fy, cx, cy, self.bounds, th, chi2)
+        with self.timer.time("prior/read"):
+            rvalid, ridx, ggate = jax.device_get((res.valid, res.idx, gate))
         rvalid = rvalid[:len(ids)]
         ridx = ridx[:len(ids)]
         ggate = ggate[:len(ids)]
@@ -668,62 +675,73 @@ class Tracker:
         return out[:self.cfg.max_local_keyframes]
 
     def _track_local_map(self, frame: Frame) -> bool:
-        local_kfs = self._local_keyframes(frame)
+        with self.timer.time("lm/select_kfs"):
+            local_kfs = self._local_keyframes(frame)
         if not local_kfs:
             return False
-        allp = np.concatenate(
-            [self.store.kfs[k].frame.mp_ids for k in local_kfs])
-        uniq = np.unique(allp[allp >= 0])
-        if len(uniq) == 0:
-            return False
-        uniq = uniq[np.asarray(self.store.mp_valid[uniq.astype(np.int64)],
-                               bool)]
+        with self.timer.time("lm/select_pts"):
+            allp = np.concatenate(
+                [self.store.kfs[k].frame.mp_ids for k in local_kfs])
+            uniq = np.unique(allp[allp >= 0])
+            if len(uniq) == 0:
+                return False
+            uniq = uniq[np.asarray(
+                self.store.mp_valid[uniq.astype(np.int64)], bool)]
         if len(uniq) == 0:
             return False
 
         # frustum + projection search over points not already bound
         bound_idx = np.where(frame.mp_ids >= 0)[0]
         bound = frame.mp_ids[bound_idx]
+        # points already tracked this frame get visible+1 unconditionally
+        # (Tracking::SearchLocalPoints calls IncreaseVisible on current
+        # bindings before the frustum pass, src/Tracking.cc:795-805)
+        if len(bound):
+            ub = np.unique(bound.astype(np.int64))
+            self.store.mp_n_visible[ub] = self.store.mp_n_visible[ub] + 1
         cand = np.setdiff1d(uniq, bound, assume_unique=False)
         prior = self.cfg.pose_prior
         n_matched_new = 0
         good = 0
         if len(cand):
-            n = pad_bucket(len(cand))
-            soa = self.store.points_soa(cand)
-            pad = n - len(cand)
-            nb = pad_bucket(max(len(bound_idx), 1))
-            padb = nb - len(bound_idx)
-            old_pos = np.zeros((nb, 3), np.float32)
-            if len(bound_idx):
-                old_pos[:len(bound_idx)] = np.asarray(
-                    self.store.mp_pos[bound.astype(np.int64)])
-            old_idx = np.pad(bound_idx, (0, padb)).astype(np.int32)
-            old_valid = np.zeros(nb, bool)
-            old_valid[:len(bound_idx)] = True
-            fx, fy, cx, cy = self._cam_tuple
-            th = 3.0 if (frame.frame_id - self.last_reloc_frame_id
-                         < self.cfg.max_frames_between_kf) else 1.0
+            with self.timer.time("lm/prep"):
+                n = pad_bucket(len(cand))
+                soa = self.store.points_soa(cand)
+                pad = n - len(cand)
+                nb = pad_bucket(max(len(bound_idx), 1))
+                padb = nb - len(bound_idx)
+                old_pos = np.zeros((nb, 3), np.float32)
+                if len(bound_idx):
+                    old_pos[:len(bound_idx)] = np.asarray(
+                        self.store.mp_pos[bound.astype(np.int64)])
+                old_idx = np.pad(bound_idx, (0, padb)).astype(np.int32)
+                old_valid = np.zeros(nb, bool)
+                old_valid[:len(bound_idx)] = True
+                fx, fy, cx, cy = self._cam_tuple
+                th = 3.0 if (frame.frame_id - self.last_reloc_frame_id
+                             < self.cfg.max_frames_between_kf) else 1.0
             # ONE fused frustum + search (+ trusted-pose gate) dispatch
-            vis_dev, res, new_gate, old_gate = _frustum_search_fused(
-                jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
-                jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
-                jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
-                jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
-                jnp.asarray(np.pad(soa["valid"], (0, pad))),
-                jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
-                jnp.asarray(frame.Tcw),
-                frame.dev("xy"), frame.dev("octave"),
-                frame.dev("desc"), frame.dev("valid"),
-                jnp.asarray(frame.mp_ids >= 0),
-                jnp.asarray(old_pos), jnp.asarray(old_idx),
-                jnp.asarray(old_valid),
-                self._j_scales, self._j_inv_sigma2,
-                fx, fy, cx, cy, self.bounds,
-                self.cfg.orb.n_levels, self.log_scale, th,
-                self.cfg.chi2_mono if prior else 0.0)
-            visible, ridx, rvalid, g_new, g_old = jax.device_get(
-                (vis_dev, res.idx, res.valid, new_gate, old_gate))
+            with self.timer.time("lm/dispatch"):
+                vis_dev, res, new_gate, old_gate = _frustum_search_fused(
+                    jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
+                    jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
+                    jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
+                    jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
+                    jnp.asarray(np.pad(soa["valid"], (0, pad))),
+                    jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
+                    jnp.asarray(frame.Tcw),
+                    frame.dev("xy"), frame.dev("octave"),
+                    frame.dev("desc"), frame.dev("valid"),
+                    jnp.asarray(frame.mp_ids >= 0),
+                    jnp.asarray(old_pos), jnp.asarray(old_idx),
+                    jnp.asarray(old_valid),
+                    self._j_scales, self._j_inv_sigma2,
+                    fx, fy, cx, cy, self.bounds,
+                    self.cfg.orb.n_levels, self.log_scale, th,
+                    self.cfg.chi2_mono if prior else 0.0)
+            with self.timer.time("lm/read"):
+                visible, ridx, rvalid, g_new, g_old = jax.device_get(
+                    (vis_dev, res.idx, res.valid, new_gate, old_gate))
             vis_pids = np.asarray(cand, np.int64)[visible[:len(cand)]]
             if len(vis_pids):
                 self.store.mp_n_visible[vis_pids] = \
