@@ -128,7 +128,9 @@ class FrameFactory:
 
         @jax.jit
         def run(image):
-            feats = ex.extract(image, params)
+            # uint8 frames upload 4x less over the host<->chip link and
+            # cast to f32 on device (the cast fuses into the pyramid)
+            feats = ex.extract(image.astype(jnp.float32), params)
             und = camera_mod.undistort_points(cam, feats.xy)
             return feats, und
 
@@ -139,7 +141,10 @@ class FrameFactory:
         returns immediately).  Pair with :meth:`make` via ``started=`` —
         lets a pipeline extract frame t+1 while frame t is processed on
         the host."""
-        img = jnp.asarray(np.asarray(image, dtype=np.float32))
+        img_np = np.asarray(image)
+        if img_np.dtype != np.uint8:
+            img_np = np.asarray(img_np, np.float32)
+        img = jnp.asarray(img_np)
         feats, und = self._pipeline(img.shape[0], img.shape[1], init_mode)(img)
         return (feats, und, init_mode)
 

@@ -104,6 +104,15 @@ class _GrowArray:
 
 class MapStore:
     def __init__(self):
+        # Map::mMutexUpdateMap equivalent (include/Map.h:148-150): held
+        # by the tracker's host-side read/apply sections and by the
+        # async mapper's stages; the mapper releases it around its long
+        # device dispatch+read windows (see MapStore.unlocked) so
+        # tracking never waits on device work, only on short host
+        # bookkeeping.  In the default synchronous pipeline the lock is
+        # uncontended and free.
+        import threading
+        self.lock = threading.RLock()
         # --- map points (numpy SoA with amortized growth) ---
         self.mp_pos = _GrowArray(3, np.float32)
         self.mp_desc = _GrowArray(8, np.uint32)
@@ -127,6 +136,26 @@ class MapStore:
         # notified on KeyFrame::EraseAndSetBad (the reference calls
         # mpKeyFrameDB->erase there); wired by System to PlaceRecognition
         self.on_kf_erased = None
+
+    def unlocked(self):
+        """Context manager that releases ``self.lock`` for the duration
+        of a device dispatch+read window, if the calling thread holds
+        it (no-op otherwise, so synchronous callers need no lock)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            try:
+                self.lock.release()
+            except RuntimeError:
+                yield  # lock not held by this thread — nothing to drop
+                return
+            try:
+                yield
+            finally:
+                self.lock.acquire()
+
+        return _ctx()
 
     # ------------------------------------------------------------------
     # map points
@@ -286,8 +315,8 @@ class MapStore:
         kf_cache = {}
         for kid in np.unique(obs_kid):
             kf_cache[kid] = self.kfs[kid].frame
-        for j in range(len(obs_kid)):
-            descs_flat[j] = kf_cache[obs_kid[j]].desc[obs_fi[j]]
+            m = obs_kid == kid
+            descs_flat[m] = kf_cache[kid].desc[obs_fi[m]]
         from .. import native
         sel = native.min_median_descriptor_batch(descs_flat, offsets)
         ok = sel >= 0
@@ -295,7 +324,9 @@ class MapStore:
 
         # --- normals: mean unit viewing ray over observers ---
         centers = {kid: self.kf_center(kid) for kid in kf_cache}
-        cen = np.stack([centers[k] for k in obs_kid])
+        cen = np.empty((len(obs_kid), 3), np.float64)
+        for kid in kf_cache:
+            cen[obs_kid == kid] = centers[kid]
         pos = np.asarray(self.mp_pos[pid_arr])
         v = pos[obs_pid_local] - cen
         nrm = np.linalg.norm(v, axis=-1, keepdims=True)
@@ -312,16 +343,23 @@ class MapStore:
         sf = getattr(self, "_scale_factor", 1.2)
         n_levels = getattr(self, "_n_levels", 8)
         first = offsets[:-1]
-        ref_row = first.copy()
         ref_kf = np.asarray(self.mp_first_kf[pid_arr])
-        for li in range(len(pids)):
-            a, b = offsets[li], offsets[li + 1]
-            hits = np.where(obs_kid[a:b] == ref_kf[li])[0]
-            if len(hits):
-                ref_row[li] = a + hits[0]
-        level = np.array([kf_cache[obs_kid[r]].octave[obs_fi[r]]
-                          for r in ref_row])
-        ref_cen = np.stack([centers[obs_kid[r]] for r in ref_row])
+        # first row within each point's CSR span whose kid == ref_kf
+        # (falls back to the span's first row), vectorized
+        is_ref = obs_kid == ref_kf[obs_pid_local]
+        rows = np.arange(len(obs_kid), dtype=np.int64)
+        big = len(obs_kid) + 1
+        cand_row = np.where(is_ref, rows, big)
+        ref_hit = np.full(len(pids), big, np.int64)
+        np.minimum.at(ref_hit, obs_pid_local, cand_row)
+        ref_row = np.where(ref_hit < big, ref_hit, first)
+        # per-row octave table grouped by keyframe
+        oct_flat = np.empty(len(obs_kid), np.int32)
+        for kid, fr in kf_cache.items():
+            m = obs_kid == kid
+            oct_flat[m] = fr.octave[obs_fi[m]]
+        level = oct_flat[ref_row]
+        ref_cen = cen[ref_row]
         dist = np.linalg.norm(pos - ref_cen, axis=-1)
         max_d = dist * (sf ** level)
         self.mp_max_dist[pid_arr] = max_d.astype(np.float32)

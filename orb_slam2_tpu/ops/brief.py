@@ -38,18 +38,35 @@ def make_pattern(seed: int = 20240216) -> np.ndarray:
 _PATTERN = make_pattern()
 
 
+def get_pattern(kind: str = "random") -> np.ndarray:
+    """(256, 2, 2) sampling pattern by name.
+
+    - ``"random"`` (default): the seeded Gaussian pattern above.
+    - ``"orb_learned"``: OpenCV's learned ``bit_pattern_31_`` table
+      (ops/orb_pattern.py; src/ORBextractor.cc:209-470) — bit-compatible
+      with OpenCV ORB descriptors and ORBvoc vocabularies.
+    """
+    if kind == "random":
+        return _PATTERN
+    if kind == "orb_learned":
+        from .orb_pattern import BIT_PATTERN_31
+        return BIT_PATTERN_31.reshape(256, 2, 2)
+    raise ValueError(f"unknown BRIEF pattern {kind!r}")
+
+
 def compute_descriptors(
     image_blurred: jnp.ndarray,
     ys: jnp.ndarray,
     xs: jnp.ndarray,
     angles: jnp.ndarray,
+    pattern: str = "random",
 ) -> jnp.ndarray:
     """(N,) keypoints -> (N, 8) uint32 packed descriptors.
 
     ``image_blurred`` must be the 7x7 sigma=2 Gaussian-blurred level
     image (ORBextractor.cc:1300-1315 blurs before describing).
     """
-    pat = jnp.asarray(_PATTERN, dtype=jnp.float32)  # (256, 2, 2) (x, y)
+    pat = jnp.asarray(get_pattern(pattern), dtype=jnp.float32)  # (256, 2, 2)
     px = pat[..., 0]  # (256, 2)
     py = pat[..., 1]
     ca = jnp.cos(angles)[:, None, None]
@@ -61,7 +78,11 @@ def compute_descriptors(
     h, w = image_blurred.shape
     yy = jnp.clip(ys[:, None, None] + ry, 0, h - 1)
     xx = jnp.clip(xs[:, None, None] + rx, 0, w - 1)
-    vals = image_blurred[yy, xx]  # (N, 256, 2)
+    # one flat gather (N, 512) — XLA lowers flat jnp.take noticeably
+    # faster on TPU than the equivalent 2-D advanced indexing
+    flat = (yy * w + xx).reshape(ys.shape[0], -1)
+    vals = jnp.take(image_blurred.reshape(-1), flat, axis=0
+                    ).reshape(ys.shape[0], -1, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (N, 256)
 
     # pack 256 bits -> 8 x uint32, bit i of word j = bit (32 j + i)

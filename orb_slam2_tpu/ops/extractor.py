@@ -22,6 +22,10 @@ class OrbParams(NamedTuple):
     scale_factor: float = 1.2
     th_fast_hi: float = 20.0
     th_fast_lo: float = 7.0
+    # BRIEF sampling pattern: "random" (default, seeded Gaussian) or
+    # "orb_learned" (OpenCV bit_pattern_31_ — descriptor-compatible
+    # with OpenCV ORB / ORBvoc vocabularies; see ops/orb_pattern.py)
+    pattern: str = "random"
 
 
 class Features(NamedTuple):
@@ -81,7 +85,8 @@ def extract(image: jnp.ndarray, params: OrbParams) -> Features:
         ys, xs, resp, valid = distribute.grid_topk(keep, score, n_l)
         ang = orientation.ic_angle(img_l, ys, xs)
         blurred = pyramid.gaussian_blur_7x7(img_l)
-        desc = brief.compute_descriptors(blurred, ys, xs, ang)
+        desc = brief.compute_descriptors(blurred, ys, xs, ang,
+                                         pattern=params.pattern)
         scale = jnp.float32(sf[lvl])
         xy = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
         parts.append(Features(

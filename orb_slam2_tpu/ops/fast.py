@@ -40,9 +40,16 @@ def fast_score_map(image: jnp.ndarray) -> jnp.ndarray:
 
     The arc-min is computed with a log-doubling trick over the circular
     16-axis (min of 9 consecutive = min(min8, shift8(d))).
+
+    Internally computes in bfloat16: pixel values are 0..255 and their
+    differences are integers up to +-255, all exactly representable in
+    bf16 for integer-valued images — identical scores at half the HBM
+    traffic.  (Resized pyramid levels are non-integer; the <=0.5 unit
+    rounding there is far below the FAST thresholds 7/20.)
     """
-    c = jnp.stack([jnp.roll(image, (-dy, -dx), axis=(0, 1)) for dy, dx in CIRCLE])
-    d_bright = c - image[None]  # (16, H, W): p_i - p
+    im = image.astype(jnp.bfloat16)
+    c = jnp.stack([jnp.roll(im, (-dy, -dx), axis=(0, 1)) for dy, dx in CIRCLE])
+    d_bright = c - im[None]  # (16, H, W): p_i - p
     d_dark = -d_bright
 
     def arcmin9(d):
@@ -52,7 +59,8 @@ def fast_score_map(image: jnp.ndarray) -> jnp.ndarray:
         m9 = jnp.minimum(m8, jnp.roll(d, -8, axis=0))
         return jnp.max(m9, axis=0)
 
-    return jnp.maximum(arcmin9(d_bright), arcmin9(d_dark))
+    return jnp.maximum(arcmin9(d_bright),
+                       arcmin9(d_dark)).astype(jnp.float32)
 
 
 def nms3(score: jnp.ndarray) -> jnp.ndarray:

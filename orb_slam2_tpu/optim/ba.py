@@ -45,8 +45,17 @@ def _identity_psum(x):
 
 
 def _assemble(cam_Tcw, points, obs_cam, obs_pt, obs_uv, obs_isig2, obs_w_extra,
-              fx, fy, cx, cy, use_huber, psum):
-    """Residuals, weights, and all Gauss-Newton blocks."""
+              fx, fy, cx, cy, use_huber, psum, psum_pt=None):
+    """Residuals, weights, and all Gauss-Newton blocks.
+
+    ``psum`` closes camera-indexed reductions over the mesh;
+    ``psum_pt`` closes point-indexed ones.  With obs-sharding both are
+    the mesh psum; with POINT-sharded state (each point's observations
+    colocated with its shard) point reductions are purely local —
+    pass ``psum_pt=identity`` and the (P,3,3)/(P,3) blocks never cross
+    the interconnect (the memory-scaling layout, SURVEY §7.2.8)."""
+    if psum_pt is None:
+        psum_pt = psum
     K = cam_Tcw.shape[0]
     P = points.shape[0]
     T_o = cam_Tcw[obs_cam]
@@ -62,11 +71,11 @@ def _assemble(cam_Tcw, points, obs_cam, obs_pt, obs_uv, obs_isig2, obs_w_extra,
 
     Hcc = psum(jnp.zeros((K, 6, 6)).at[obs_cam].add(
         jnp.einsum("oia,oib->oab", Jc_w, Jc)))
-    Hpp = psum(jnp.zeros((P, 3, 3)).at[obs_pt].add(
+    Hpp = psum_pt(jnp.zeros((P, 3, 3)).at[obs_pt].add(
         jnp.einsum("oia,oib->oab", Jp * w[:, None, None], Jp)))
     gc = psum(jnp.zeros((K, 6)).at[obs_cam].add(
         jnp.einsum("oia,oi->oa", Jc_w, res.r)))
-    gp = psum(jnp.zeros((P, 3)).at[obs_pt].add(
+    gp = psum_pt(jnp.zeros((P, 3)).at[obs_pt].add(
         jnp.einsum("oia,oi->oa", Jp * w[:, None, None], res.r)))
     W = jnp.einsum("oia,oib->oab", Jc_w, Jp)  # (O, 6, 3) per-obs coupling
 
@@ -88,8 +97,10 @@ def _cost_only(cam_Tcw, points, obs_cam, obs_pt, obs_uv, obs_isig2,
 
 
 def _solve_step(Hcc, Hpp, gc, gp, W, obs_cam, obs_pt, lam, fixed_cam, psum,
-                cg_iters):
+                cg_iters, psum_pt=None):
     """One damped Schur + PCG solve -> (delta_c (K,6), delta_p (P,3))."""
+    if psum_pt is None:
+        psum_pt = psum
     K = Hcc.shape[0]
     P = Hpp.shape[0]
     eye6 = jnp.eye(6)
@@ -112,7 +123,7 @@ def _solve_step(Hcc, Hpp, gc, gp, W, obs_cam, obs_pt, lam, fixed_cam, psum,
     b = jnp.where(free[:, None], b, 0.0)
 
     def S_matvec(x):
-        y = psum(jnp.zeros((P, 3)).at[obs_pt].add(
+        y = psum_pt(jnp.zeros((P, 3)).at[obs_pt].add(
             jnp.einsum("oab,oa->ob", W, x[obs_cam])))     # W^T x per point
         z = jnp.einsum("pab,pb->pa", Hpp_inv, y)
         corr = psum(jnp.zeros((K, 6)).at[obs_cam].add(
@@ -152,7 +163,7 @@ def _solve_step(Hcc, Hpp, gc, gp, W, obs_cam, obs_pt, lam, fixed_cam, psum,
     delta_c = jnp.where(free[:, None], delta_c, 0.0)
 
     # Back-substitute points: dp = Hpp^-1 (-gp - W^T dc).
-    wtd = psum(jnp.zeros((P, 3)).at[obs_pt].add(
+    wtd = psum_pt(jnp.zeros((P, 3)).at[obs_pt].add(
         jnp.einsum("oab,oa->ob", W, delta_c[obs_cam])))
     delta_p = jnp.einsum("pab,pb->pa", Hpp_inv, -(gp + wtd))
     return delta_c, delta_p
@@ -164,11 +175,15 @@ def bundle_adjust_core(
     iters: int = 10, cg_iters: int = 20, use_huber: bool = True,
     psum: Callable = _identity_psum,
     abort_flag=None,
+    psum_pt: Callable | None = None,
 ):
     """LM iteration loop shared by single-device and sharded BA.
 
     ``psum`` closes segment-sums across an obs-sharded mesh axis (pass
     e.g. ``partial(jax.lax.psum, axis_name='d')`` inside shard_map).
+    ``psum_pt``: closure for point-indexed reductions — identity when
+    the point state is sharded with its observations (memory-scaling
+    GBA); defaults to ``psum``.
     ``abort_flag``: optional scalar bool array — when True, iterations
     become no-ops (the reference's mbAbortBA mid-BA interrupt,
     src/Optimizer.cc stop-flag / src/LocalMapping.cc:161-167).
@@ -179,9 +194,9 @@ def bundle_adjust_core(
         cam, pts, lam = st
         Hcc, Hpp, gc, gp, W, cost0 = _assemble(
             cam, pts, obs_cam, obs_pt, obs_uv, obs_isig2, obs_w_extra,
-            fx, fy, cx, cy, use_huber, psum)
+            fx, fy, cx, cy, use_huber, psum, psum_pt=psum_pt)
         dc, dp = _solve_step(Hcc, Hpp, gc, gp, W, obs_cam, obs_pt, lam,
-                             fixed_cam, psum, cg_iters)
+                             fixed_cam, psum, cg_iters, psum_pt=psum_pt)
         cam_new = se3.exp(dc) @ cam
         pts_new = pts + dp
         cost1 = _cost_only(cam_new, pts_new, obs_cam, obs_pt, obs_uv,

@@ -8,7 +8,11 @@ batched LM: all points, all observations, no graph solver at all.
 
 Observation layout (padded flat arrays, length O):
   obs_pt[o]   : point index
-  obs_Tcw[o]  : (4,4) observing camera pose (gathered by caller)
+  obs_Tcw[o]  : (4,4) observing camera pose — EITHER a per-observation
+                (O,4,4) stack, OR a compact (K,4,4) keyframe-pose table
+                gathered on device via obs_cam (preferred: the (O,4,4)
+                form uploads ~4 MB per call through the chip tunnel,
+                ~80 ms at measured ~75 MB/s, dominating the solve)
   obs_uv[o]   : measurement
   obs_isig2[o]: information (1/sigma^2 of the keypoint level)
   obs_valid[o]
@@ -32,7 +36,8 @@ class PointsOptResult(NamedTuple):
     obs_inlier: jnp.ndarray  # (O,) bool — obs passes chi2 at solution
 
 
-@partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "iters"))
+@partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "iters",
+                                   "use_huber"))
 def optimize_points(
     points0: jnp.ndarray,
     obs_pt: jnp.ndarray,
@@ -43,8 +48,12 @@ def optimize_points(
     fx: float, fy: float, cx: float, cy: float,
     iters: int = 10,
     use_huber: bool = True,
+    obs_cam: jnp.ndarray | None = None,
 ) -> PointsOptResult:
     P = points0.shape[0]
+    if obs_cam is not None:
+        # compact form: (K,4,4) pose table + per-obs camera index
+        obs_Tcw = obs_Tcw[obs_cam]
 
     def assemble(points):
         pts_per_obs = points[obs_pt]

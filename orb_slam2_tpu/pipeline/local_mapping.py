@@ -227,18 +227,22 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
     O = pad_bucket(len(obs_kf))
     P = pad_bucket(len(pids))
     padO = O - len(obs_kf)
-    obs_Tcw = poses[obs_kf]
+    Kp = pad_bucket(len(kf_ids), 8)
+    poses_p = np.concatenate(
+        [poses, np.broadcast_to(np.eye(4, dtype=np.float32),
+                                (Kp - len(kf_ids), 4, 4))])
     fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
                       float(cfg.cam.cx), float(cfg.cam.cy))
-    with timer.time("sba/device"):
+    with timer.time("sba/device"), store.unlocked():
         res = points_opt.optimize_points(
             jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
             jnp.asarray(np.pad(obs_pt, (0, padO))),
-            jnp.asarray(np.pad(obs_Tcw, ((0, padO), (0, 0), (0, 0)))),
+            jnp.asarray(poses_p.astype(np.float32)),
             jnp.asarray(np.pad(obs_uv, ((0, padO), (0, 0)))),
             jnp.asarray(np.pad(obs_sig, (0, padO))),
             jnp.asarray(np.pad(np.ones(len(obs_kf), bool), (0, padO))),
-            fx, fy, cx, cy, iters=iters)
+            fx, fy, cx, cy, iters=iters,
+            obs_cam=jnp.asarray(np.pad(obs_kf, (0, padO))))
         new_pts_all, inl_all = jax.device_get((res.points, res.obs_inlier))
     with timer.time("sba/apply"):
         new_pts = new_pts_all[:len(pids)]
@@ -317,19 +321,20 @@ def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
     fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
                       float(cfg.cam.cx), float(cfg.cam.cy))
     eye = np.broadcast_to(np.eye(4, dtype=np.float32), (K - len(all_kfs), 4, 4))
-    res = ba.bundle_adjust(
-        jnp.asarray(np.concatenate([poses, eye])),
-        jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
-        jnp.asarray(np.pad(obs_kf, (0, O - len(obs)))),
-        jnp.asarray(np.pad(obs_pt, (0, O - len(obs)))),
-        jnp.asarray(np.pad(obs_uv, ((0, O - len(obs)), (0, 0)))),
-        jnp.asarray(np.pad(obs_sig, (0, O - len(obs)))),
-        jnp.asarray(np.pad(np.ones(len(obs), bool), (0, O - len(obs)))),
-        jnp.asarray(np.pad(fixed_mask, (0, K - len(all_kfs)),
-                           constant_values=True)),
-        fx, fy, cx, cy, iters=iters, cg_iters=20)
-    new_poses, new_pts, inl = jax.device_get(
-        (res.cam_Tcw, res.points, res.obs_inlier))
+    with store.unlocked():
+        res = ba.bundle_adjust(
+            jnp.asarray(np.concatenate([poses, eye])),
+            jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
+            jnp.asarray(np.pad(obs_kf, (0, O - len(obs)))),
+            jnp.asarray(np.pad(obs_pt, (0, O - len(obs)))),
+            jnp.asarray(np.pad(obs_uv, ((0, O - len(obs)), (0, 0)))),
+            jnp.asarray(np.pad(obs_sig, (0, O - len(obs)))),
+            jnp.asarray(np.pad(np.ones(len(obs), bool), (0, O - len(obs)))),
+            jnp.asarray(np.pad(fixed_mask, (0, K - len(all_kfs)),
+                               constant_values=True)),
+            fx, fy, cx, cy, iters=iters, cg_iters=20)
+        new_poses, new_pts, inl = jax.device_get(
+            (res.cam_Tcw, res.points, res.obs_inlier))
     for i, kid in enumerate(all_kfs):
         if not fixed_mask[i]:
             store.set_kf_pose(kid, new_poses[i])
@@ -361,23 +366,51 @@ class LocalMapper:
         self.log_scale = float(np.log(cfg.orb.scale_factor))
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, kid: int):
-        """One LocalMapping::Run iteration (src/LocalMapping.cc:78-158)."""
+    def process_keyframe(self, kid: int, queue_pressure: bool = False):
+        """One LocalMapping::Run iteration (src/LocalMapping.cc:78-158).
+
+        Holds the map lock (Map::mMutexUpdateMap equivalent) for host
+        bookkeeping; each heavy stage drops it around its device
+        dispatch+read window so a concurrent tracking thread only ever
+        waits on short host sections.
+
+        ``queue_pressure``: more keyframes are already waiting — skip
+        fusion and local BA for this one, exactly like the reference's
+        mapping thread under load (SearchInNeighbors runs only
+        ``if(!CheckNewKeyFrames())``, src/LocalMapping.cc:111, and a new
+        insertion aborts the running local BA via
+        mbAbortLocalBARequested, src/LocalMapping.cc:122-124, 161-167).
+        The deferred work is covered by the next quiet keyframe."""
+        with self.store.lock:
+            self._process_keyframe_locked(kid, queue_pressure)
+
+    def _process_keyframe_locked(self, kid: int,
+                                 queue_pressure: bool = False):
         store = self.store
+        # ProcessNewKeyFrame (src/LocalMapping.cc:180-197): refresh the
+        # bound points' descriptors/normals and the covisibility graph
+        # here on the mapping thread (tracking only records bindings)
+        with self.timer.time("mapping/process_kf"):
+            f = store.kfs[kid].frame
+            bound = [int(p) for p in f.mp_ids
+                     if p >= 0 and store.mp_valid[p]]
+            store.update_points_batch(bound)
+            store.update_connections(kid)
         n0 = store.n_valid_points()
         with self.timer.time("mapping/cull_points"):
             self._cull_map_points(kid)
         with self.timer.time("mapping/triangulate"):
             self._create_new_map_points(kid)
         n1 = store.n_valid_points()
-        with self.timer.time("mapping/fuse"):
-            self._fuse_neighbors(kid)
-        if store.n_valid_keyframes() > 2:
-            with self.timer.time("mapping/local_ba"):
-                run_local_ba(store, kid, self.cfg,
-                             fixed_pose=self.cfg.pose_prior,
-                             iters=self.cfg.local_ba_iters,
-                             timer=self.timer)
+        if not queue_pressure:
+            with self.timer.time("mapping/fuse"):
+                self._fuse_neighbors(kid)
+            if store.n_valid_keyframes() > 2:
+                with self.timer.time("mapping/local_ba"):
+                    run_local_ba(store, kid, self.cfg,
+                                 fixed_pose=self.cfg.pose_prior,
+                                 iters=self.cfg.local_ba_iters,
+                                 timer=self.timer)
         with self.timer.time("mapping/cull_keyframes"):
             self._cull_keyframes(kid)
         # glog-equivalent of src/LocalMapping.cc:101-103
@@ -477,8 +510,9 @@ class LocalMapper:
                 nb_valid[b] = True
 
         # the WHOLE device side (search -> select -> DLT -> gates) in
-        # one dispatch + one batched read
-        with self.timer.time("tri/device"):
+        # one dispatch + one batched read; the map lock is dropped for
+        # the window so a concurrent tracker never stalls on it
+        with self.timer.time("tri/device"), store.unlocked():
             good, X, nb, col = jax.device_get(_triangulate_neighbors_fused(
                 f1.dev("xy"), f1.dev("desc"), jnp.asarray(unbound1),
                 f1.dev("octave"), f1.dev("angle"), jnp.asarray(kf1.Tcw),
@@ -597,7 +631,7 @@ class LocalMapper:
                     jnp.asarray(np.pad(soa["valid"], (0, pad))),
                     jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))))
 
-        with self.timer.time("fuse/device"):
+        with self.timer.time("fuse/device"), store.unlocked():
             fwd, rev = _fuse_both_directions(
                 *pad_soa(own_soa, P1, pad1),
                 jnp.asarray(Tcw_s), dstack("xy"), dstack("octave"),
@@ -618,27 +652,36 @@ class LocalMapper:
 
     def _apply_fuse(self, kid: int, pids: List[int], rvalid, ridx, rdist):
         """Shared fuse decision loop (ORBmatcher::Fuse tail,
-        src/ORBmatcher.cc:1150-1216): replace or add observations."""
+        src/ORBmatcher.cc:1150-1216): replace or add observations.
+        Cheap gates (distance, liveness) are vectorized; only rows that
+        actually merge or bind reach the per-item graph mutation."""
         store = self.store
         f = store.kfs[kid].frame
-        for j in np.where(rvalid[:len(pids)])[0]:
-            if rdist[j] > 50:
+        n = len(pids)
+        pid_arr = np.asarray(pids, np.int64)
+        ok = (np.asarray(rvalid[:n], bool)
+              & (np.asarray(rdist[:n]) <= 50))
+        rows = np.where(ok)[0]
+        if len(rows) == 0:
+            return
+        alive = np.asarray(store.mp_valid[pid_arr[rows]], bool)
+        rows = rows[alive]
+        feats = np.asarray(ridx[:n], np.int64)[rows]
+        existing = f.mp_ids[feats]
+        for j, feat, ex in zip(rows, feats, existing):
+            pid = int(pid_arr[j])
+            if kid in store.mp_obs[pid]:
                 continue
-            pid = pids[j]
-            if not store.mp_valid[pid] or kid in store.mp_obs[pid]:
-                continue
-            feat = int(ridx[j])
-            existing = f.mp_ids[feat]
-            if existing >= 0 and store.mp_valid[existing]:
-                if existing == pid:
+            if ex >= 0 and store.mp_valid[ex]:
+                if ex == pid:
                     continue
                 # keep the point with more observations
-                if len(store.mp_obs[existing]) > len(store.mp_obs[pid]):
-                    store.replace_point(pid, existing)
+                if len(store.mp_obs[ex]) > len(store.mp_obs[pid]):
+                    store.replace_point(pid, int(ex))
                 else:
-                    store.replace_point(existing, pid)
+                    store.replace_point(int(ex), pid)
             else:
-                store.add_observation(pid, kid, feat)
+                store.add_observation(pid, kid, int(feat))
 
     def _fuse_batch(self, target_kids: List[int], pids: List[int]):
         """Forward fuse of one point set into many keyframes: a single
@@ -667,18 +710,19 @@ class LocalMapper:
                           float(cfg.cam.cx), float(cfg.cam.cy))
         from ..geom.camera import undistorted_bounds
         bounds = undistorted_bounds(cfg.cam)
-        sidx, sdist, svalid = jax.device_get(_fuse_project_stack(
-            jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
-            jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
-            jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
-            jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
-            jnp.asarray(np.pad(soa["valid"], (0, pad))),
-            jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
-            jnp.asarray(Tcw_s), dstack("xy"), dstack("octave"),
-            dstack("desc"), jnp.asarray(kvalid),
-            self._j_scales,
-            fx, fy, cx, cy, bounds, cfg.orb.n_levels, self.log_scale,
-            th=3.0, ratio=1.0))
+        with store.unlocked():
+            sidx, sdist, svalid = jax.device_get(_fuse_project_stack(
+                jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
+                jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
+                jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
+                jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
+                jnp.asarray(np.pad(soa["valid"], (0, pad))),
+                jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
+                jnp.asarray(Tcw_s), dstack("xy"), dstack("octave"),
+                dstack("desc"), jnp.asarray(kvalid),
+                self._j_scales,
+                fx, fy, cx, cy, bounds, cfg.orb.n_levels, self.log_scale,
+                th=3.0, ratio=1.0))
         for b, t in enumerate(target_kids):
             self._apply_fuse(t, pids, svalid[b], sidx[b], sdist[b])
 
@@ -781,3 +825,60 @@ class LocalMapper:
             n_redundant = int((cnt >= 3).sum())
             if n_redundant > self.cfg.kf_cull_redundancy * n_pts:
                 store.erase_keyframe(cand)
+
+
+class AsyncMapper:
+    """The reference's LocalMapping THREAD + keyframe queue
+    (src/System.cc:96-100 spawns it; src/LocalMapping.cc:161-167 is the
+    queue): tracking enqueues a keyframe id and keeps running at camera
+    rate while mapping (and loop closing, which runs at the tail of
+    ``process_keyframe``) executes here.  Synchronization is
+    ``MapStore.lock``; the mapper drops it around device windows so the
+    tracker only ever waits on short host bookkeeping sections.
+
+    Exceptions raised by the worker are re-raised on the tracking thread
+    at the next ``process_keyframe``/``drain`` call."""
+
+    def __init__(self, mapper: LocalMapper):
+        import queue
+        import threading
+        self.mapper = mapper
+        self._q = queue.Queue()
+        self._exc = None
+        self._thread = threading.Thread(
+            target=self._run, name="local_mapping", daemon=True)
+        self._thread.start()
+
+    def process_keyframe(self, kid: int):
+        self._reraise()
+        self._q.put(kid)
+
+    def _run(self):
+        while True:
+            kid = self._q.get()
+            try:
+                if kid is None:
+                    return
+                self.mapper.process_keyframe(
+                    kid, queue_pressure=not self._q.empty())
+            except BaseException as e:  # noqa: BLE001 — surfaced to caller
+                self._exc = e
+            finally:
+                self._q.task_done()
+
+    def _reraise(self):
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    def drain(self):
+        """Block until the queue is empty (LocalMapping idle — the
+        reference's CheckNewKeyFrames()==false state)."""
+        self._q.join()
+        self._reraise()
+
+    def stop(self):
+        """System::Shutdown thread join (src/System.cc:173-192)."""
+        self._q.put(None)
+        self._thread.join()
+        self._reraise()

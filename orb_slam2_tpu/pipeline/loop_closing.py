@@ -587,23 +587,45 @@ class LoopCloser:
         for k, i in vid.items():
             store.set_kf_pose(k, _se3_from_sim3(sims_new[i]))
 
-        # remap map points via their reference KF (src/Optimizer.cc:944-983)
-        for pid in range(store.n_points()):
-            if not store.mp_valid[pid]:
-                continue
-            ref = store.mp_first_kf[pid]
-            if ref not in vid:
-                obs = store.mp_obs[pid]
-                ref = next((k for k in obs if k in vid), None)
-                if ref is None:
-                    continue
-            i = vid[ref]
-            S_before = jnp.asarray(sims_before[i])
-            S_after = jnp.asarray(sims_new[i])
-            fix = sim3_mod.compose(sim3_mod.inv(S_after), S_before)
-            store.mp_pos[pid] = np.asarray(sim3_mod.apply_one(
-                fix, jnp.asarray(store.mp_pos[pid]))).astype(np.float32)
-        store.update_points_batch(range(store.n_points()))
+        # remap map points via their reference KF (src/Optimizer.cc:944-983),
+        # grouped by vertex: ONE batched fix-transform computation and
+        # one numpy apply per vertex group — O(1) device dispatches
+        # regardless of map size (the reference loops all points).
+        n_pts = store.n_points()
+        if n_pts == 0:
+            return
+        pids_all = np.where(np.asarray(store.mp_valid, bool))[0]
+        if len(pids_all) == 0:
+            return
+        kid2v = np.full(store.max_kf_id + 2, -1, np.int64)
+        for k, i in vid.items():
+            kid2v[k] = i
+        first = np.asarray(store.mp_first_kf[pids_all], np.int64)
+        vi = np.where((first >= 0) & (first <= store.max_kf_id),
+                      kid2v[np.clip(first, 0, store.max_kf_id)], -1)
+        # fallback: points whose first KF left the graph use any
+        # observing vertex (matches the reference's ref-KF semantics)
+        for j in np.where(vi < 0)[0]:
+            ref = next((k for k in store.mp_obs[pids_all[j]] if k in vid),
+                       None)
+            if ref is not None:
+                vi[j] = vid[ref]
+        keep = vi >= 0
+        pids_all, vi = pids_all[keep], vi[keep]
+        if len(pids_all) == 0:
+            return
+        # per-vertex correction fix_i = S_after_i^-1 * S_before_i
+        fixes = np.asarray(sim3_mod.compose(
+            sim3_mod.inv(jnp.asarray(sims_new)),
+            jnp.asarray(sims_before[:K])))
+        Rm = np.asarray(sim3_mod.rot(jnp.asarray(fixes)))
+        tv, sv = fixes[:, 4:7], fixes[:, 7]
+        pos = np.asarray(store.mp_pos[pids_all], np.float64)
+        for i in np.unique(vi):
+            m = vi == i
+            pos[m] = sv[i] * (pos[m] @ Rm[i].T) + tv[i]
+        store.mp_pos[pids_all] = pos.astype(np.float32)
+        store.update_points_batch(pids_all.tolist())
 
     # ------------------------------------------------------------------
     # RunGlobalBundleAdjustment (src/LoopClosing.cc:753-894)

@@ -27,7 +27,7 @@ class PlaceRecognition:
     def __init__(self, store: MapStore,
                  vocab: Optional[Vocabulary] = None,
                  min_train_keyframes: int = 4,
-                 train_k: int = 8, train_levels: int = 3):
+                 train_k: int = 10, train_levels: int = 4):
         self.store = store
         self.vocab = vocab
         self.min_train_keyframes = min_train_keyframes
@@ -50,7 +50,12 @@ class PlaceRecognition:
             f = self.store.kfs[kid].frame
             descs.append(f.desc[f.valid])
         desc = np.concatenate(descs)
-        if len(desc) < 2 * self.train_k ** self.train_levels:
+        # production-scale tree (k=10, L=4 -> 10k words, the same
+        # sparse-word regime as the reference's 1M-word ORBvoc,
+        # src/System.cc:64-72).  A deep tree trained on few descriptors
+        # just leaves unused leaves — that sharpens, not degrades, the
+        # inverted file, so gate only on having a sane sample
+        if len(desc) < max(1000, 4 * self.train_k ** 2):
             return
         self.vocab = Vocabulary.train(
             desc, k=self.train_k, levels=self.train_levels,

@@ -27,13 +27,23 @@ from .tracking import Tracker, TrackState
 
 class System:
     def __init__(self, config: SlamConfig, enable_loop_closing: bool = True,
-                 vocab=None):
+                 vocab=None, async_mapping: bool = False):
+        """``async_mapping=True`` restores the reference's thread
+        topology (src/System.cc:96-109): local mapping + loop closing
+        run on a background thread fed by a keyframe queue, so tracking
+        never stalls on a keyframe frame.  The default is the
+        deterministic sequential pipeline (bit-reproducible, used by the
+        test suite)."""
         self.cfg = config
         self.store = MapStore()
         self.store.set_scale_info(config.orb.scale_factor, config.orb.n_levels)
         self.factory = FrameFactory(config.cam, config.orb)
         self.tracker = Tracker(config, self.store, self.factory)
         self.mapper = LocalMapper(config, self.store)
+        self.map_worker = None
+        if async_mapping:
+            from .local_mapping import AsyncMapper
+            self.map_worker = AsyncMapper(self.mapper)
 
         # place recognition (vocabulary + BoW database) backs both loop
         # closing and relocalization (src/System.cc:65-83)
@@ -63,7 +73,16 @@ class System:
 
     # ------------------------------------------------------------------
     def _on_new_keyframe(self, kid: int):
-        self.mapper.process_keyframe(kid)
+        if self.map_worker is not None:
+            self.map_worker.process_keyframe(kid)  # enqueue, don't stall
+        else:
+            self.mapper.process_keyframe(kid)
+
+    def flush_mapping(self):
+        """Block until all queued keyframes are mapped (no-op in the
+        sequential pipeline)."""
+        if self.map_worker is not None:
+            self.map_worker.drain()
 
     def prefetch(self, image) -> None:
         """Dispatch ORB extraction for the NEXT frame asynchronously;
@@ -82,12 +101,23 @@ class System:
         return p
 
     def track_monocular_with_pose(self, image, timestamp: float,
-                                  Tcw: np.ndarray) -> Frame:
-        """System::TrackMonocularWithPose (src/System.cc:237-258)."""
+                                  Tcw: np.ndarray,
+                                  next_image=None) -> Frame:
+        """System::TrackMonocularWithPose (src/System.cc:237-258).
+
+        ``next_image``: optional look-ahead frame; its ORB extraction is
+        dispatched after this frame's tracking work is queued but before
+        its results are read, so the device computes the next extraction
+        while this frame's results return over the tunnel (the
+        throughput role of the reference's tracking thread)."""
         self._last_image = np.asarray(image)
+        hook = None
+        if next_image is not None:
+            hook = lambda: self.prefetch(next_image)  # noqa: E731
         frame = self.tracker.track(image, timestamp,
                                    pose_prior=np.asarray(Tcw, np.float32),
-                                   started=self._take_prefetch())
+                                   started=self._take_prefetch(),
+                                   pre_read_hook=hook)
         self._record(frame)
         return frame
 
@@ -114,6 +144,7 @@ class System:
     # ------------------------------------------------------------------
     def reset(self):
         """System/Tracking::Reset (src/Tracking.cc:1009-1052)."""
+        self.flush_mapping()  # reference's blocking reset handshake
         self.store = MapStore()
         self.store.set_scale_info(self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
         self.tracker.store = self.store
@@ -137,6 +168,7 @@ class System:
         self.tracker.last_frame = None
         self.tracker.ref_kf = -1
         self.tracker.velocity = None
+        self.tracker._prep = None
 
     @property
     def state(self) -> TrackState:
@@ -144,9 +176,13 @@ class System:
 
     def shutdown(self):
         """System::Shutdown (src/System.cc:173-192).  The reference
-        joins its LocalMapping/LoopClosing/Viewer threads; the
-        synchronous pipeline has nothing to join — provided for API
-        parity, and it blocks until any queued device work drains."""
+        joins its LocalMapping/LoopClosing/Viewer threads; the async
+        pipeline joins the mapping worker, and either way it blocks
+        until any queued device work drains."""
+        if self.map_worker is not None:
+            self.map_worker.drain()
+            self.map_worker.stop()
+            self.map_worker = None
         import jax
         jax.effects_barrier()
 
@@ -247,6 +283,7 @@ class System:
         frame relocalizes against it."""
         from ..models.serialize import load_map
         from .place_recognition import PlaceRecognition
+        self.flush_mapping()
         self.store = load_map(path)
         self.store.set_scale_info(self.cfg.orb.scale_factor,
                                   self.cfg.orb.n_levels)
@@ -266,6 +303,7 @@ class System:
         self.tracker.state = TrackState.LOST
         self.tracker.last_frame = None
         self.tracker.velocity = None
+        self.tracker._prep = None
         valid = self.store.valid_kf_ids()
         self.tracker.ref_kf = valid[-1] if valid else -1
 

@@ -135,6 +135,78 @@ def _frustum_search_fused(pos, normal, min_d, max_d, pvalid, desc,
     return fr.visible, r, new_gate, old_gate
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale",
+    "th_last", "th_local", "chi2"))
+def _track_prior_step(Tcw,
+                      last_pos, last_rows, last_valid,
+                      last_octave_all, last_desc_all, last_angle_all,
+                      cand_pos, cand_normal, cand_min, cand_max,
+                      cand_valid, cand_desc, cand_bound_row,
+                      kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
+                      scale_factors, inv_sigma2,
+                      fx, fy, cx, cy, bounds, n_levels, log_scale,
+                      th_last, th_local, chi2):
+    """The ENTIRE steady-state pose-prior tracking step in ONE dispatch:
+
+    1. project last frame's bound map points with the trusted pose and
+       match them against the current keypoints
+       (SearchByProjection(cur, last, th), src/ORBmatcher.cc:1633-1797),
+    2. trusted-pose chi2 gate (CheckMatchesByProjection,
+       src/Tracking.cc:1108-1142),
+    3. mark the matched keypoints as bound,
+    4. frustum-cull the local-map candidates (points currently bound are
+       masked via ``cand_bound_row`` -> row index into the last-frame
+       match rows) and run the local-map projection search against the
+       remaining keypoints (src/ORBmatcher.cc:64-160),
+    5. chi2-gate the new matches.
+
+    Everything the reference does across TrackWithInitialPose +
+    TrackLocalMap's search phase, as one kernel: through a tunnel whose
+    round trip costs ~30-50 ms, the dispatch count IS the frame budget.
+    The local-map candidate set is prepared at the END of the previous
+    frame (its covisibility vote uses that frame's final bindings — the
+    reference votes with the current frame's bindings; one-frame lag in
+    the VOTE only, the search itself is exact)."""
+    oct_ = last_octave_all[last_rows]
+    desc = last_desc_all[last_rows]
+    ang = last_angle_all[last_rows]
+    uv, z = _project_points(Tcw, last_pos, fx, fy, cx, cy)
+    minx, maxx, miny, maxy = bounds
+    in_img = ((z > 0) & (uv[:, 0] >= minx) & (uv[:, 0] < maxx)
+              & (uv[:, 1] >= miny) & (uv[:, 1] < maxy))
+    res = search.search_by_projection_last_frame(
+        uv, oct_, desc, last_valid & in_img, ang,
+        kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
+        scale_factors, th=th_last)
+    r = uv - kp_xy[res.idx]
+    c2 = jnp.sum(r * r, -1) * inv_sigma2[kp_octave[res.idx]]
+    gate = res.valid & (c2 <= chi2)
+
+    # per-feature "already bound" mask (mutual-best => unique targets)
+    nf = kp_xy.shape[0]
+    has_mp = jnp.zeros(nf, jnp.int32).at[res.idx].max(
+        gate.astype(jnp.int32)) > 0
+
+    # candidate rows whose point is bound this frame drop out
+    row_bound = jnp.where(
+        cand_bound_row >= 0,
+        gate[jnp.clip(cand_bound_row, 0, None)], False)
+    cvalid = cand_valid & ~row_bound
+    fr = frustum.is_in_frustum(cand_pos, cand_normal, cand_min, cand_max,
+                               cvalid, Tcw, fx, fy, cx, cy, bounds,
+                               n_levels, log_scale)
+    r2 = search.search_by_projection_local_map(
+        fr.uv, fr.pred_level, fr.view_cos, cand_desc, fr.visible,
+        kp_xy, kp_octave, kp_desc, kp_valid, has_mp,
+        scale_factors, th=th_local)
+    uvp, z2 = _project_points(Tcw, cand_pos, fx, fy, cx, cy)
+    d = uvp - kp_xy[r2.idx]
+    c2n = jnp.sum(d * d, -1) * inv_sigma2[kp_octave[r2.idx]]
+    keep_new = r2.valid & (z2 > 0) & (c2n <= chi2)
+    return (res.idx, res.valid, gate, fr.visible, r2.idx, keep_new)
+
+
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
 def _pose_opt_fused(Tcw0, pos, bound_idx, kp_xy, kp_octave,
                     inv_sigma2_lvl, valid, fx, fy, cx, cy):
@@ -184,6 +256,9 @@ class Tracker:
         self.relocalize: Optional[Callable[[Frame], bool]] = None
 
         self.timer = StageTimer()
+        # device-side local-map preparation for the fused step, built at
+        # the end of each tracked frame for the next one
+        self._prep = None
         cam = config.cam
         self._cam_tuple = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
         from ..geom.camera import undistorted_bounds
@@ -198,9 +273,14 @@ class Tracker:
     # ------------------------------------------------------------------
     def track(self, image: np.ndarray, timestamp: float = 0.0,
               pose_prior: Optional[np.ndarray] = None,
-              started=None) -> Frame:
+              started=None, pre_read_hook=None) -> Frame:
         """Process one frame — Tracking::trackImageWithPose
-        (src/Tracking.cc:194-356) merged with upstream GrabImageMonocular."""
+        (src/Tracking.cc:194-356) merged with upstream GrabImageMonocular.
+
+        ``pre_read_hook``: called after the frame's device work is
+        dispatched but before its results are read — a caller can queue
+        the NEXT frame's extraction there so the device crunches it
+        while this frame's results cross the tunnel back."""
         init_mode = self.state in (TrackState.NO_IMAGES_YET,
                                    TrackState.NOT_INITIALIZED)
         with self.timer.time("track/extract"):
@@ -209,45 +289,82 @@ class Tracker:
                                       started=started)
 
         if init_mode:
-            self._initialize(frame, pose_prior)
-            self.last_frame = frame
+            with self.store.lock:
+                self._initialize(frame, pose_prior)
+                self.last_frame = frame
+                if self.state == TrackState.OK:
+                    self._prepare_next(frame)
             return frame
 
         ok = False
+        fused_done = False
         if self.state == TrackState.OK:
-            with self.timer.time("track/refresh_replaced"):
-                self._refresh_replaced_bindings(self.last_frame)
-            if self.cfg.pose_prior:
-                with self.timer.time("track/prior"):
-                    ok = self._track_with_prior(frame)
-                if not ok:
-                    ok = self._track_reference_kf(frame)
+            prep_ok = (self._prep is not None
+                       and self._prep["frame"] is self.last_frame)
+            if self.cfg.pose_prior and prep_ok:
+                # fused path: dispatch+read run lock-free; only the
+                # short apply section takes the map lock internally
+                with self.timer.time("track/fused_step"):
+                    verdict = self._track_prior_fused(frame, pre_read_hook)
+                if verdict == "ok":
+                    ok = fused_done = True
+                elif verdict == "lost":
+                    ok = False
+                    fused_done = True  # local-map stage ran; don't redo
+                else:  # prior_fail -> reference-KF fallback + old path
+                    with self.store.lock:
+                        ok = self._track_reference_kf(frame)
+            elif self.cfg.pose_prior:
+                with self.store.lock:
+                    with self.timer.time("track/refresh_replaced"):
+                        self._refresh_replaced_bindings(self.last_frame)
+                    with self.timer.time("track/prior"):
+                        ok = self._track_with_prior(frame)
+                    if not ok:
+                        ok = self._track_reference_kf(frame)
             else:
-                if self.velocity is not None:
-                    ok = self._track_motion_model(frame)
-                if not ok:
-                    ok = self._track_reference_kf(frame)
+                with self.store.lock:
+                    with self.timer.time("track/refresh_replaced"):
+                        self._refresh_replaced_bindings(self.last_frame)
+                    if self.velocity is not None:
+                        ok = self._track_motion_model(frame)
+                    if not ok:
+                        ok = self._track_reference_kf(frame)
         else:  # LOST
-            ok = self._do_relocalize(frame)
+            with self.store.lock:
+                ok = self._do_relocalize(frame)
 
-        if ok:
-            with self.timer.time("track/local_map"):
+        if ok and not fused_done:
+            with self.timer.time("track/local_map"), self.store.lock:
                 ok = self._track_local_map(frame)
 
-        if ok:
-            self.state = TrackState.OK
-            if not self.cfg.pose_prior and self.last_frame is not None:
-                self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
-            with self.timer.time("track/need_kf"):
-                need = self.mapping_enabled and self._need_new_keyframe(frame)
-            if need:
-                with self.timer.time("track/create_kf"):
-                    self._create_new_keyframe(frame)
-        else:
-            self.state = TrackState.LOST
-            self.velocity = None
-            if self.store.n_valid_keyframes() <= 5 and self.on_reset:
-                self.on_reset()
+        do_reset = False
+        with self.store.lock:
+            if ok:
+                self.state = TrackState.OK
+                if not self.cfg.pose_prior and self.last_frame is not None:
+                    self.velocity = frame.Tcw @ np.linalg.inv(
+                        self.last_frame.Tcw)
+                with self.timer.time("track/need_kf"):
+                    need = (self.mapping_enabled
+                            and self._need_new_keyframe(frame))
+                if need:
+                    with self.timer.time("track/create_kf"):
+                        self._create_new_keyframe(frame)
+            else:
+                self.state = TrackState.LOST
+                self.velocity = None
+                self._prep = None
+                do_reset = (self.store.n_valid_keyframes() <= 5
+                            and self.on_reset is not None)
+
+            if self.state == TrackState.OK and self.cfg.pose_prior:
+                with self.timer.time("track/prep_next"):
+                    self._prepare_next(frame)
+        if do_reset:
+            # outside the map lock: reset drains the mapping worker,
+            # which must be able to take the lock to finish its queue
+            self.on_reset()
 
         # per-frame glog-equivalent (src/Tracking.cc:654-656)
         log.info("frame %d: state=%s inliers=%d tracked=%d",
@@ -565,6 +682,162 @@ class Tracker:
         frame.mp_outlier[bound[~inl]] = True
         return int(inl.sum())
 
+    # ------------------------------------------------------------------
+    # fused single-dispatch steady-state step (pose-prior mode)
+    # ------------------------------------------------------------------
+    def _prepare_next(self, frame: Frame):
+        """Build the next frame's device-side inputs for
+        :func:`_track_prior_step`: the frame's final bindings (the rows
+        of the frame-to-frame search) and the local-map candidate SoA
+        (the covisibility vote of UpdateLocalKeyFrames,
+        src/Tracking.cc:890-1005, using THIS frame's bindings).  Runs
+        after mapping/loop stages so positions are current; the uploads
+        overlap the next frame's extraction."""
+        self._refresh_replaced_bindings(frame)
+        local_kfs = self._local_keyframes(frame)  # also votes ref_kf
+        bound_idx = np.where((frame.mp_ids >= 0) & ~frame.mp_outlier)[0]
+        if len(bound_idx):
+            live = np.asarray(
+                self.store.mp_valid[frame.mp_ids[bound_idx].astype(np.int64)],
+                bool)
+            bound_idx = bound_idx[live]
+        if not local_kfs or len(bound_idx) == 0:
+            self._prep = None
+            return
+        bound_pids = frame.mp_ids[bound_idx].astype(np.int64)
+        allp = np.concatenate(
+            [self.store.kfs[k].frame.mp_ids for k in local_kfs])
+        uniq = np.unique(allp[allp >= 0])
+        if len(uniq):
+            uniq = uniq[np.asarray(
+                self.store.mp_valid[uniq.astype(np.int64)], bool)]
+        if len(uniq) == 0:
+            self._prep = None
+            return
+        # map each candidate pid to its row in the bound list (-1: free)
+        order = np.argsort(bound_pids)
+        sortedp = bound_pids[order]
+        pos_in = np.searchsorted(sortedp, uniq)
+        pos_in_c = np.clip(pos_in, 0, len(sortedp) - 1)
+        hit = sortedp[pos_in_c] == uniq
+        cand_bound_row = np.where(hit, order[pos_in_c], -1).astype(np.int32)
+
+        L = pad_bucket(len(bound_idx))
+        C = pad_bucket(len(uniq))
+        padl = L - len(bound_idx)
+        padc = C - len(uniq)
+        soa = self.store.points_soa(uniq)
+        last_pos = np.zeros((L, 3), np.float32)
+        last_pos[:len(bound_idx)] = np.asarray(self.store.mp_pos[bound_pids])
+        last_valid = np.zeros(L, bool)
+        last_valid[:len(bound_idx)] = True
+        self._prep = dict(
+            frame=frame,
+            bound_idx=bound_idx.astype(np.int32),
+            bound_pids=bound_pids,
+            cand_pids=uniq.astype(np.int64),
+            last_pos=jnp.asarray(last_pos),
+            last_rows=jnp.asarray(np.pad(bound_idx.astype(np.int32),
+                                         (0, padl))),
+            last_valid=jnp.asarray(last_valid),
+            cand_pos=jnp.asarray(np.pad(soa["pos"], ((0, padc), (0, 0)))),
+            cand_normal=jnp.asarray(
+                np.pad(soa["normal"], ((0, padc), (0, 0)))),
+            cand_min=jnp.asarray(np.pad(soa["min_dist"], (0, padc))),
+            cand_max=jnp.asarray(np.pad(soa["max_dist"], (0, padc))),
+            cand_valid=jnp.asarray(np.pad(soa["valid"], (0, padc))),
+            cand_desc=jnp.asarray(np.pad(soa["desc"], ((0, padc), (0, 0)))),
+            cand_bound_row=jnp.asarray(
+                np.pad(cand_bound_row, (0, padc), constant_values=-1)),
+        )
+
+    def _track_prior_fused(self, frame: Frame, pre_read_hook=None) -> str:
+        """One-dispatch steady-state step.  Returns 'ok', 'prior_fail'
+        (frame-to-frame match too weak -> try reference-KF tracking), or
+        'lost' (local-map inliers below threshold,
+        src/Tracking.cc:641-666)."""
+        p = self._prep
+        last = self.last_frame
+        fx, fy, cx, cy = self._cam_tuple
+        th_local = 3.0 if (frame.frame_id - self.last_reloc_frame_id
+                           < self.cfg.max_frames_between_kf) else 1.0
+        with self.timer.time("fused/dispatch"):
+            out = _track_prior_step(
+                jnp.asarray(frame.Tcw),
+                p["last_pos"], p["last_rows"], p["last_valid"],
+                last.dev("octave"), last.dev("desc"), last.dev("angle"),
+                p["cand_pos"], p["cand_normal"], p["cand_min"],
+                p["cand_max"], p["cand_valid"], p["cand_desc"],
+                p["cand_bound_row"],
+                frame.dev("xy"), frame.dev("octave"), frame.dev("desc"),
+                frame.dev("valid"), frame.dev("angle"),
+                self._j_scales, self._j_inv_sigma2,
+                fx, fy, cx, cy, self.bounds,
+                self.cfg.orb.n_levels, self.log_scale,
+                7.0, th_local, self.cfg.chi2_mono)
+        if pre_read_hook is not None:
+            pre_read_hook()
+        with self.timer.time("fused/read"):
+            ridx, rvalid, gate, visible, r2idx, keep_new = \
+                jax.device_get(out)
+
+        L = len(p["bound_idx"])
+        C = len(p["cand_pids"])
+        n_matches = int(rvalid[:L].sum())
+        with self.timer.time("fused/apply"), self.store.lock:
+            if n_matches < self.cfg.track_prior_min_matches:
+                frame.mp_ids[:] = -1
+                return "prior_fail"
+            sel = np.where(gate[:L])[0]
+            if len(sel) < self.cfg.track_prior_min_good:
+                frame.mp_ids[:] = -1
+                return "prior_fail"
+            # the async mapper may have erased/replaced points since the
+            # prep snapshot — follow replace chains, drop dead pids
+            # (CheckReplacedMapPointsInLastFrame, src/Tracking.cc:581),
+            # fully vectorized (chains are almost always depth 0/1)
+            store = self.store
+
+            def live_of(pids: np.ndarray) -> np.ndarray:
+                pids = np.asarray(pids, np.int64)
+                for _ in range(100):
+                    rb = np.asarray(store.mp_replaced_by[pids], np.int64)
+                    if not (rb >= 0).any():
+                        break
+                    pids = np.where(rb >= 0, rb, pids)
+                alive = np.asarray(store.mp_valid[pids], bool) \
+                    if len(pids) else np.zeros(0, bool)
+                return np.where(alive, pids, -1)
+
+            bsel = live_of(p["bound_pids"][sel])
+            sel, bsel = sel[bsel >= 0], bsel[bsel >= 0]
+            newsel = np.where(keep_new[:C])[0]
+            csel = live_of(p["cand_pids"][newsel])
+            newsel, csel = newsel[csel >= 0], csel[csel >= 0]
+            if len(sel):
+                frame.mp_ids[ridx[:L][sel]] = bsel.astype(np.int32)
+            if len(newsel):
+                frame.mp_ids[r2idx[:C][newsel]] = csel.astype(np.int32)
+
+            # visible: current bindings (unconditional) + in-frustum cand
+            vis_cand = p["cand_pids"][visible[:C]]
+            vis_cand = vis_cand[np.asarray(
+                self.store.mp_valid[vis_cand], bool)]
+            vis_pids = np.unique(np.concatenate([vis_cand, bsel]))
+            if len(vis_pids):
+                self.store.mp_n_visible[vis_pids] = \
+                    self.store.mp_n_visible[vis_pids] + 1
+            found = frame.mp_ids[frame.mp_ids >= 0].astype(np.int64)
+            if len(found):
+                self.store.mp_n_found[found] = self.store.mp_n_found[found] + 1
+
+            self.matches_inliers = len(sel) + len(newsel)
+        need = (self.cfg.track_local_min_inliers_reloc
+                if frame.frame_id - self.last_reloc_frame_id
+                < self.cfg.max_frames_between_kf
+                else self.cfg.track_local_min_inliers)
+        return "ok" if self.matches_inliers >= need else "lost"
+
     def _track_with_prior(self, frame: Frame) -> bool:
         """TrackWithInitialPose (src/Tracking.cc:1060-1072): match +
         trusted-pose chi2 gate in one fused device call."""
@@ -807,8 +1080,10 @@ class Tracker:
                 bound_pids.append(pid)
             elif pid >= 0:
                 frame.mp_ids[i] = -1
-        self.store.update_points_batch(bound_pids)
-        self.store.update_connections(kid)
+        # descriptor/normal refresh + covisibility update run at the
+        # START of mapping's ProcessNewKeyFrame (src/LocalMapping.cc:
+        # 180-197), i.e. on the mapping thread — not here on the
+        # camera-rate tracking thread
         self.ref_kf = kid
         self.last_kf_frame_id = frame.frame_id
         if self.on_new_keyframe:

@@ -126,3 +126,70 @@ class TestDistributedPoseGraph:
         err = np.asarray(s3.log(s3.compose(
             dist.sims[K - 1], s3.inv(gt[K - 1]))))
         assert np.abs(err).max() < 0.15
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device")
+class TestShardedPointsBA:
+    """Memory-scaling GBA (BASELINE config 4): point state + Hpp blocks
+    sharded over the mesh, cameras replicated, observations colocated
+    with their point's shard."""
+
+    def test_matches_single_device(self):
+        from orb_slam2_tpu.parallel.dist_ba import (
+            distributed_bundle_adjust_sharded_points)
+        cams, pts, (oc, op, ouv) = make_scene(n_cams=6, n_pts=300,
+                                              noise=0.2, seed=8)
+        rng = np.random.default_rng(9)
+        cams0 = cams.copy()
+        for c in range(2, len(cams)):
+            xi = rng.normal(0, 0.02, 6).astype(np.float32)
+            cams0[c] = np.asarray(se3.exp(jnp.asarray(xi))) @ cams[c]
+        pts0 = pts + rng.normal(0, 0.1, pts.shape).astype(np.float32)
+        fixed = np.zeros(len(cams), bool)
+        fixed[:2] = True
+
+        mesh = make_mesh()
+        dist = distributed_bundle_adjust_sharded_points(
+            mesh, cams0, pts0, oc, op, ouv,
+            np.ones(len(oc), np.float32), np.ones(len(oc), bool), fixed,
+            FX, FY, CX, CY, iters=10, cg_iters=30)
+
+        single = ba.bundle_adjust(
+            jnp.asarray(cams0), jnp.asarray(pts0),
+            jnp.asarray(oc), jnp.asarray(op), jnp.asarray(ouv),
+            jnp.ones(len(oc)), jnp.ones(len(oc), bool), jnp.asarray(fixed),
+            FX, FY, CX, CY, iters=10, cg_iters=30)
+
+        np.testing.assert_allclose(np.asarray(dist.cam_Tcw),
+                                   np.asarray(single.cam_Tcw), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dist.points),
+                                   np.asarray(single.points), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dist.obs_inlier),
+                                   np.asarray(single.obs_inlier))
+        np.testing.assert_allclose(np.asarray(dist.final_cost),
+                                   np.asarray(single.final_cost), rtol=1e-3)
+
+    def test_point_state_is_actually_sharded(self):
+        """Every device's addressable point shard is ~P/n_dev — the
+        memory-scaling property (no device holds the full point set)."""
+        from orb_slam2_tpu.parallel.dist_ba import shard_points_problem
+        rng = np.random.default_rng(0)
+        P, O, n_dev = 1000, 8000, 8
+        pts = rng.normal(0, 1, (P, 3)).astype(np.float32)
+        op = rng.integers(0, P, O).astype(np.int32)
+        oc = rng.integers(0, 5, O).astype(np.int32)
+        ouv = rng.normal(0, 1, (O, 2)).astype(np.float32)
+        (pts_f, ocam_f, opt_f, ouv_f, osig_f, ovalid_f, pt_map,
+         obs_slot, Pmax) = shard_points_problem(
+            pts, oc, op, ouv, np.ones(O, np.float32), np.ones(O, bool),
+            n_dev)
+        # per-device shard is a balanced fraction, not the whole set
+        assert Pmax < P // n_dev + P // (2 * n_dev) + 2
+        assert pts_f.shape[0] == n_dev * Pmax
+        # every observation's point is colocated with its shard
+        d_of_slot = obs_slot // (len(ocam_f) // n_dev)
+        for d in range(n_dev):
+            rows = pt_map.reshape(n_dev, Pmax)[d]
+            rows = set(rows[rows >= 0].tolist())
+            sel = np.where(d_of_slot == d)[0]
+            assert set(op[sel].tolist()) <= rows

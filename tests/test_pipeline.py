@@ -120,3 +120,41 @@ class TestFailureRecovery:
             sys.track_monocular_with_pose(synth.render(world, CAM, T),
                                           20.0 + i * 0.1, T)
         assert sys.state == TrackState.OK
+
+
+class TestAsyncMapping:
+    """async_mapping=True restores the reference's thread topology
+    (src/System.cc:96-109): mapping runs on a worker thread and tracking
+    never blocks on keyframe processing."""
+
+    def test_async_matches_sync_quality(self, world):
+        poses = synth.aerial_trajectory(30, speed=0.3)
+        sys = System(make_config(pose_prior=True), enable_loop_closing=False,
+                     async_mapping=True)
+        states = []
+        for i, T in enumerate(poses):
+            img = synth.render(world, CAM, T)
+            sys.track_monocular_with_pose(img, i * 0.1, T)
+            states.append(sys.state)
+        sys.flush_mapping()
+        ok_frames = sum(s == TrackState.OK for s in states)
+        assert ok_frames > 24, f"only {ok_frames} OK frames: {states}"
+        pts = sys.map_points()
+        assert len(pts) > 200
+        assert np.median(np.abs(pts[:, 2])) < 0.08
+        assert sys.store.n_valid_keyframes() >= 2
+        sys.shutdown()
+        assert sys.map_worker is None
+
+    def test_async_worker_exception_propagates(self):
+        from orb_slam2_tpu.pipeline.local_mapping import AsyncMapper
+
+        class Boom:
+            def process_keyframe(self, kid):
+                raise RuntimeError("mapper failed")
+
+        w = AsyncMapper(Boom())
+        w.process_keyframe(1)
+        with pytest.raises(RuntimeError, match="mapper failed"):
+            w.drain()
+        w.stop()
