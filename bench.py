@@ -47,6 +47,14 @@ def main():
         init_min_matches=80,
         init_min_triangulated=50,
         init_min_tracked_after_ba=80,
+        # static-shape floors: steady-state padded sizes from frame 0 —
+        # every shape-bucket crossing is a fresh XLA compile (~2 s
+        # device-side, worse through the remote-compile relay), and the
+        # padded FLOPs are nearly free on the MXU
+        pad_min_bound=4096,
+        pad_min_cand=16384,
+        pad_min_obs=65536,
+        pad_min_pts=16384,
     )
 
     world = synth.make_world(seed=7, tex_size=4096, scale=120.0)
@@ -72,6 +80,24 @@ def main():
         log(f"warm frame {i}: {time.perf_counter() - t0:.1f}s "
             f"state={sys_.state.name}")
 
+    # tunnel health calibration: round-trip latency + upload bandwidth
+    # (printed so run-to-run variance in the link is visible next to
+    # the fps number)
+    import jax.numpy as jnp
+    f_tiny = jax.jit(lambda x: x + 1.0)
+    jax.device_get(f_tiny(jnp.zeros(8)))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jax.device_get(f_tiny(jnp.zeros(8)))
+    rt_ms = 100.0 * (time.perf_counter() - t0)
+    blob = np.zeros((1440, 1920), np.uint8)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.device_get(jnp.asarray(blob)[:2, :2])
+    up_ms = 1e3 * (time.perf_counter() - t0) / 3
+    log(f"tunnel: rt={rt_ms:.1f} ms, 2.7MB upload={up_ms:.1f} ms "
+        f"({2.7 / (up_ms / 1e3):.0f} MB/s)")
+
     # report steady-state timings only (warm-up is compile-dominated)
     sys_.tracker.timer.reset()
     sys_.mapper.timer.reset()
@@ -95,6 +121,7 @@ def main():
     # mapping thread lags behind the same way) — drain after stopping
     dt = time.perf_counter() - t0
     sys_.flush_mapping()
+    sys_.shutdown()
     jax.effects_barrier()
 
     fps = n_meas / dt

@@ -130,6 +130,10 @@ def load_map(path: str) -> MapStore:
     store.mp_n_found = _GrowArray.from_data(z["mp_n_found"])
     store.mp_replaced_by = _GrowArray.from_data(z["mp_replaced_by"], fill=-1)
     store.mp_obs = [dict() for _ in range(n_pts)]
+    from .mapstore import _ObsMirror
+    store.obs = _ObsMirror()
+    for _ in range(n_pts):
+        store.obs.add_row()
 
     offsets = z["kf_offsets"]
     n_kf = len(offsets) - 1
@@ -163,4 +167,5 @@ def load_map(path: str) -> MapStore:
         store.covis[int(kid)][int(other)] = int(w)
     for pid, kid, fi in z["obs"]:
         store.mp_obs[int(pid)][int(kid)] = int(fi)
+        store.obs.add(int(pid), int(kid), int(fi))
     return store

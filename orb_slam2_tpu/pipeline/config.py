@@ -61,6 +61,18 @@ class SlamConfig:
     # --- relocalization ---
     reloc_recent_kf_window: int = 10    # Map::GetLastKeyFrames period
 
+    # --- static-shape floors (XLA recompile control) ---
+    # Padded-array sizes only ever GROW through power-of-4 buckets;
+    # every bucket crossing is a fresh XLA compile (~2 s on-device,
+    # minutes through a remote-compile relay).  Production deployments
+    # should set these floors to the steady-state sizes so the shapes
+    # are static from frame 0 (padded FLOPs are nearly free on TPU —
+    # a recompile never is).  Defaults stay small for CPU tests.
+    pad_min_bound: int = 256    # tracked bound points (fused step L)
+    pad_min_cand: int = 256     # local-map candidates (fused step C)
+    pad_min_obs: int = 256      # BA observation rows
+    pad_min_pts: int = 256      # BA point rows
+
     @property
     def max_frames_between_kf(self) -> int:
         return int(self.fps)  # mMaxFrames = fps (src/Tracking.cc:128-134)

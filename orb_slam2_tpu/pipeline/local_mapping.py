@@ -85,6 +85,53 @@ def _fuse_project_stack(pos, normal, min_d, max_d, pvalid, desc,
                             n_levels, log_scale, th, ratio)
 
 
+def _gather_rows(pt_pos, pt_desc, pt_normal, pt_min, pt_max, pt_alive,
+                 rows):
+    """Gather a padded row-index vector (-1 = empty slot) from the
+    device-resident point store."""
+    ok = rows >= 0
+    r = jnp.clip(rows, 0, None)
+    return (pt_pos[r], pt_normal[r], pt_min[r], pt_max[r],
+            ok & pt_alive[r], pt_desc[r])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th",
+    "ratio"))
+def _fuse_stack_rows(pt_pos, pt_desc, pt_normal, pt_min, pt_max,
+                     pt_alive, rows,
+                     Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
+                     scale_factors, fx, fy, cx, cy, bounds,
+                     n_levels, log_scale, th=3.0, ratio=1.0):
+    """Forward fuse with the point set gathered ON DEVICE by row index
+    from the persistent point store — only the (P,) index vector
+    crosses the link instead of a ~65 B/point SoA copy."""
+    pos, normal, min_d, max_d, pvalid, desc = _gather_rows(
+        pt_pos, pt_desc, pt_normal, pt_min, pt_max, pt_alive, rows)
+    return _fuse_stack_impl(pos, normal, min_d, max_d, pvalid, desc,
+                            Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
+                            scale_factors, fx, fy, cx, cy, bounds,
+                            n_levels, log_scale, th, ratio)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th",
+    "ratio"))
+def _fuse_reverse_rows(pt_pos, pt_desc, pt_normal, pt_min, pt_max,
+                       pt_alive, rows,
+                       Tcw, kxy, koct, kdesc, kvalid,
+                       scale_factors, fx, fy, cx, cy, bounds,
+                       n_levels, log_scale, th=3.0, ratio=1.0):
+    """Reverse fuse (neighbors' points into ONE keyframe), point set
+    gathered on device by row index."""
+    pos, normal, min_d, max_d, pvalid, desc = _gather_rows(
+        pt_pos, pt_desc, pt_normal, pt_min, pt_max, pt_alive, rows)
+    return _fuse_one(pos, normal, min_d, max_d, pvalid, desc,
+                     Tcw, kxy, koct, kdesc, kvalid,
+                     scale_factors, fx, fy, cx, cy, bounds,
+                     n_levels, log_scale, th, ratio)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th",
     "ratio"))
@@ -169,7 +216,7 @@ def _triangulate_neighbors_fused(
     good = (has & chk.good
             & (ratio_dist < ratio_oct * scale_ratio_factor)
             & (ratio_dist > ratio_oct / scale_ratio_factor))
-    return good, X, nb, col
+    return good, X, nb, col, has
 
 
 def gather_ba_problem(store: MapStore, kf_ids: List[int], inv_sigma2):
@@ -224,25 +271,39 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
     points0 = np.asarray(store.mp_pos[np.asarray(pids, np.int64)])
     poses = np.stack([store.kfs[k].Tcw for k in kf_ids])
 
-    O = pad_bucket(len(obs_kf))
-    P = pad_bucket(len(pids))
+    O = pad_bucket(len(obs_kf), cfg.pad_min_obs)
+    P = pad_bucket(len(pids), cfg.pad_min_pts)
     padO = O - len(obs_kf)
-    Kp = pad_bucket(len(kf_ids), 8)
+    Kp = pad_bucket(len(kf_ids), 32)
     poses_p = np.concatenate(
         [poses, np.broadcast_to(np.eye(4, dtype=np.float32),
                                 (Kp - len(kf_ids), 4, 4))])
     fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
                       float(cfg.cam.cx), float(cfg.cam.cy))
     with timer.time("sba/device"), store.unlocked():
-        res = points_opt.optimize_points(
-            jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
-            jnp.asarray(np.pad(obs_pt, (0, padO))),
-            jnp.asarray(poses_p.astype(np.float32)),
-            jnp.asarray(np.pad(obs_uv, ((0, padO), (0, 0)))),
-            jnp.asarray(np.pad(obs_sig, (0, padO))),
-            jnp.asarray(np.pad(np.ones(len(obs_kf), bool), (0, padO))),
-            fx, fy, cx, cy, iters=iters,
-            obs_cam=jnp.asarray(np.pad(obs_kf, (0, padO))))
+        # LM iterations run in SHORT chunks (one dispatch each, point
+        # state stays on device between chunks) so the camera-rate
+        # tracking dispatch can slot into the device queue between
+        # them — one long fori_loop kernel would block the queue for
+        # its whole duration.  Chunk round trips cost the MAPPING
+        # thread only.
+        pts_dev = jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0))))
+        args = (jnp.asarray(np.pad(obs_pt, (0, padO))),
+                jnp.asarray(poses_p.astype(np.float32)),
+                jnp.asarray(np.pad(obs_uv, ((0, padO), (0, 0)))),
+                jnp.asarray(np.pad(obs_sig, (0, padO))),
+                jnp.asarray(np.pad(np.ones(len(obs_kf), bool), (0, padO))))
+        obs_cam_dev = jnp.asarray(np.pad(obs_kf, (0, padO)))
+        chunk = 3
+        done = 0
+        res = None
+        while done < iters:
+            it = min(chunk, iters - done)
+            res = points_opt.optimize_points(
+                pts_dev, *args, fx, fy, cx, cy, iters=it,
+                obs_cam=obs_cam_dev)
+            pts_dev = res.points
+            done += it
         new_pts_all, inl_all = jax.device_get((res.points, res.obs_inlier))
     with timer.time("sba/apply"):
         new_pts = new_pts_all[:len(pids)]
@@ -276,13 +337,15 @@ def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
         for pid in store.kfs[kid].frame.mp_ids:
             if pid >= 0 and store.mp_valid[pid] and pid not in pid_set:
                 pid_set[pid] = len(pid_set)
-    # fixed observers
-    fixed = []
-    for pid in pid_set:
-        for kid in store.mp_obs[pid]:
-            if kid not in local_set and store.kfs[kid].valid:
-                if kid not in fixed:
-                    fixed.append(kid)
+    if not pid_set:
+        return
+    # fixed observers — vectorized over the obs mirror
+    pid_arr = np.fromiter(pid_set.keys(), np.int64, len(pid_set))
+    kidm, fim, nm = store.obs.rows(pid_arr)
+    slot_ok = np.arange(kidm.shape[1])[None, :] < nm[:, None]
+    observers = np.unique(kidm[slot_ok])
+    fixed = [int(k) for k in observers
+             if k not in local_set and store.kfs[k].valid]
     all_kfs = local + fixed
     kf_index = {k: i for i, k in enumerate(all_kfs)}
     fixed_mask = np.zeros(len(all_kfs), bool)
@@ -298,18 +361,30 @@ def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
     from ..ops.extractor import level_sigma2
     inv_sigma2 = (1.0 / level_sigma2(cfg.orb)).astype(np.float32)
 
-    obs = []
-    for pid, pl in pid_set.items():
-        for kid, fi in store.mp_obs[pid].items():
-            if kid in kf_index:
-                obs.append((kf_index[kid], pl, kid, fi))
-    if len(obs) < 10:
+    # flatten (kf_local, pt_local, kid, fi) from the mirror, vectorized
+    max_kid = max(kf_index)
+    kid2local = np.full(max_kid + 2, -1, np.int64)
+    for k, i in kf_index.items():
+        kid2local[k] = i
+    rows, cols = np.nonzero(slot_ok)
+    ok_kid = kidm[rows, cols]
+    in_graph = (ok_kid <= max_kid) & (kid2local[np.clip(ok_kid, 0, max_kid)] >= 0)
+    rows, cols = rows[in_graph], cols[in_graph]
+    o_kid = kidm[rows, cols]
+    o_fi = fim[rows, cols]
+    obs_kf = kid2local[o_kid].astype(np.int32)
+    obs_pt = rows.astype(np.int32)      # pid_set insertion order == rows
+    if len(obs_kf) < 10:
         return
-    obs_kf = np.array([o[0] for o in obs], np.int32)
-    obs_pt = np.array([o[1] for o in obs], np.int32)
-    obs_uv = np.stack([store.kfs[o[2]].frame.xy[o[3]] for o in obs])
-    obs_sig = np.array(
-        [inv_sigma2[store.kfs[o[2]].frame.octave[o[3]]] for o in obs], np.float32)
+    obs_uv = np.empty((len(obs_kf), 2), np.float32)
+    oct_flat = np.empty(len(obs_kf), np.int32)
+    for k in np.unique(o_kid):
+        m = o_kid == k
+        fr = store.kfs[k].frame
+        obs_uv[m] = fr.xy[o_fi[m]]
+        oct_flat[m] = fr.octave[o_fi[m]]
+    obs_sig = inv_sigma2[oct_flat]
+    n_obs = len(obs_kf)
 
     pids = list(pid_set.keys())
     poses = np.stack([store.kfs[k].Tcw for k in all_kfs])
@@ -317,7 +392,7 @@ def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
 
     K = pad_bucket(len(all_kfs), 8)
     P = pad_bucket(len(pids))
-    O = pad_bucket(len(obs))
+    O = pad_bucket(n_obs)
     fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
                       float(cfg.cam.cx), float(cfg.cam.cy))
     eye = np.broadcast_to(np.eye(4, dtype=np.float32), (K - len(all_kfs), 4, 4))
@@ -325,11 +400,11 @@ def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
         res = ba.bundle_adjust(
             jnp.asarray(np.concatenate([poses, eye])),
             jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0)))),
-            jnp.asarray(np.pad(obs_kf, (0, O - len(obs)))),
-            jnp.asarray(np.pad(obs_pt, (0, O - len(obs)))),
-            jnp.asarray(np.pad(obs_uv, ((0, O - len(obs)), (0, 0)))),
-            jnp.asarray(np.pad(obs_sig, (0, O - len(obs)))),
-            jnp.asarray(np.pad(np.ones(len(obs), bool), (0, O - len(obs)))),
+            jnp.asarray(np.pad(obs_kf, (0, O - n_obs))),
+            jnp.asarray(np.pad(obs_pt, (0, O - n_obs))),
+            jnp.asarray(np.pad(obs_uv, ((0, O - n_obs), (0, 0)))),
+            jnp.asarray(np.pad(obs_sig, (0, O - n_obs))),
+            jnp.asarray(np.pad(np.ones(n_obs, bool), (0, O - n_obs))),
             jnp.asarray(np.pad(fixed_mask, (0, K - len(all_kfs)),
                                constant_values=True)),
             fx, fy, cx, cy, iters=iters, cg_iters=20)
@@ -340,8 +415,8 @@ def run_local_ba(store: MapStore, center_kf: int, cfg: SlamConfig,
             store.set_kf_pose(kid, new_poses[i])
     for j, p in enumerate(pids):
         store.mp_pos[p] = new_pts[j]
-    for o in np.where(~inl[:len(obs)])[0]:
-        kid, fi = obs[o][2], obs[o][3]
+    for o in np.where(~inl[:n_obs])[0]:
+        kid, fi = int(o_kid[o]), int(o_fi[o])
         pid = pids[obs_pt[o]]
         if store.mp_valid[pid]:
             store.erase_observation(pid, kid)
@@ -392,27 +467,38 @@ class LocalMapper:
         # here on the mapping thread (tracking only records bindings)
         with self.timer.time("mapping/process_kf"):
             f = store.kfs[kid].frame
-            bound = [int(p) for p in f.mp_ids
-                     if p >= 0 and store.mp_valid[p]]
-            store.update_points_batch(bound)
-            store.update_connections(kid)
+            with self.timer.time("pkf/bound"):
+                bound = f.mp_ids[f.mp_ids >= 0].astype(np.int64)
+                if len(bound):
+                    bound = bound[np.asarray(store.mp_valid[bound], bool)]
+                bound = bound.tolist()
+            with self.timer.time("pkf/upb"):
+                store.update_points_batch(bound)
+            with self.timer.time("pkf/conn"):
+                store.update_connections(kid)
         n0 = store.n_valid_points()
+        store.yield_lock()  # stage boundary: let the tracker in
         with self.timer.time("mapping/cull_points"):
             self._cull_map_points(kid)
+        store.yield_lock()
         with self.timer.time("mapping/triangulate"):
             self._create_new_map_points(kid)
         n1 = store.n_valid_points()
+        store.yield_lock()
         if not queue_pressure:
             with self.timer.time("mapping/fuse"):
                 self._fuse_neighbors(kid)
+            store.yield_lock()
             if store.n_valid_keyframes() > 2:
                 with self.timer.time("mapping/local_ba"):
                     run_local_ba(store, kid, self.cfg,
                                  fixed_pose=self.cfg.pose_prior,
                                  iters=self.cfg.local_ba_iters,
                                  timer=self.timer)
+            store.yield_lock()
         with self.timer.time("mapping/cull_keyframes"):
             self._cull_keyframes(kid)
+        store.yield_lock()
         # glog-equivalent of src/LocalMapping.cc:101-103
         log.info("KF %d: +%d map points (total %d), %d keyframes",
                  kid, n1 - n0, store.n_valid_points(),
@@ -485,44 +571,71 @@ class LocalMapper:
             # --- stack neighbor frames ON DEVICE (cached padded copies):
             # only the small dynamic validity masks cross the tunnel ---
             B = len(elig)
-            Bp = ((B + 3) // 4) * 4
+            CH = 5  # neighbors per kernel (short kernels so the
+            #         camera-rate tracking dispatch can interleave)
+            n_ch = (B + CH - 1) // CH
             n2 = max(store.kfs[e[0]].frame.n for e in elig)
             frames2 = [store.kfs[e[0]].frame for e in elig]
-            stack_list = frames2 + [frames2[0]] * (Bp - B)
 
-            def dstack(name):
-                return jnp.stack([fr.dev_padded(name, n2) for fr in stack_list])
-
-            valid2 = np.zeros((Bp, n2), bool)
-            F12_s = np.tile(np.eye(3, dtype=np.float32), (Bp, 1, 1))
-            epi_s = np.zeros((Bp, 2), np.float32)
-            Tcw2_s = np.tile(np.eye(4, dtype=np.float32), (Bp, 1, 1))
-            o2_s = np.zeros((Bp, 3), np.float32)
-            nb_valid = np.zeros(Bp, bool)
-            for b, (kid2, F12, uv_e, o2) in enumerate(elig):
-                f2 = frames2[b]
-                m = f2.n
-                valid2[b, :m] = (f2.mp_ids < 0) & f2.valid
-                F12_s[b] = F12
-                epi_s[b] = uv_e
-                Tcw2_s[b] = store.kfs[kid2].Tcw
-                o2_s[b] = o2
-                nb_valid[b] = True
-
-        # the WHOLE device side (search -> select -> DLT -> gates) in
-        # one dispatch + one batched read; the map lock is dropped for
-        # the window so a concurrent tracker never stalls on it
+        # the device side (search -> select -> DLT -> gates) runs as
+        # n_ch short kernels dispatched back-to-back + ONE batched
+        # read; the map lock is dropped for the whole window.  Chunks
+        # preserve neighbor order, so first-chunk-with-a-match ==
+        # first-matching-neighbor (the reference's binding rule).
         with self.timer.time("tri/device"), store.unlocked():
-            good, X, nb, col = jax.device_get(_triangulate_neighbors_fused(
-                f1.dev("xy"), f1.dev("desc"), jnp.asarray(unbound1),
-                f1.dev("octave"), f1.dev("angle"), jnp.asarray(kf1.Tcw),
-                dstack("xy"), dstack("desc"), jnp.asarray(valid2),
-                dstack("octave"), dstack("angle"),
-                jnp.asarray(F12_s), jnp.asarray(epi_s), jnp.asarray(Tcw2_s),
-                jnp.asarray(o2_s), jnp.asarray(nb_valid),
-                jnp.asarray(K.astype(np.float32)), self._j_sigma2,
-                self._j_scales,
-                fx, fy, cx, cy, float(1.5 * cfg.orb.scale_factor)))
+            parts = []
+            for ci in range(n_ch):
+                sub = list(range(ci * CH, min((ci + 1) * CH, B)))
+                stack_list = [frames2[b] for b in sub]
+                stack_list += [stack_list[0]] * (CH - len(sub))
+                valid2 = np.zeros((CH, n2), bool)
+                F12_s = np.tile(np.eye(3, dtype=np.float32), (CH, 1, 1))
+                epi_s = np.zeros((CH, 2), np.float32)
+                Tcw2_s = np.tile(np.eye(4, dtype=np.float32), (CH, 1, 1))
+                o2_s = np.zeros((CH, 3), np.float32)
+                nb_valid = np.zeros(CH, bool)
+                for j, b in enumerate(sub):
+                    kid2, F12, uv_e, o2 = elig[b]
+                    f2 = frames2[b]
+                    valid2[j, :f2.n] = (f2.mp_ids < 0) & f2.valid
+                    F12_s[j] = F12
+                    epi_s[j] = uv_e
+                    Tcw2_s[j] = store.kfs[kid2].Tcw
+                    o2_s[j] = o2
+                    nb_valid[j] = True
+                parts.append(_triangulate_neighbors_fused(
+                    f1.dev("xy"), f1.dev("desc"), jnp.asarray(unbound1),
+                    f1.dev("octave"), f1.dev("angle"),
+                    jnp.asarray(kf1.Tcw),
+                    jnp.stack([fr.dev_padded("xy", n2)
+                               for fr in stack_list]),
+                    jnp.stack([fr.dev_padded("desc", n2)
+                               for fr in stack_list]),
+                    jnp.asarray(valid2),
+                    jnp.stack([fr.dev_padded("octave", n2)
+                               for fr in stack_list]),
+                    jnp.stack([fr.dev_padded("angle", n2)
+                               for fr in stack_list]),
+                    jnp.asarray(F12_s), jnp.asarray(epi_s),
+                    jnp.asarray(Tcw2_s),
+                    jnp.asarray(o2_s), jnp.asarray(nb_valid),
+                    jnp.asarray(K.astype(np.float32)), self._j_sigma2,
+                    self._j_scales,
+                    fx, fy, cx, cy, float(1.5 * cfg.orb.scale_factor)))
+            out = jax.device_get(parts)
+            # merge: first chunk with a match wins (neighbor order)
+            good, X, nb, col, has = out[0]
+            good, X, nb, col = (np.array(good), np.array(X),
+                                np.array(nb), np.array(col))
+            claimed = np.array(has)
+            for ci in range(1, n_ch):
+                g2, X2, nb2, col2, h2 = out[ci]
+                fresh = ~claimed & np.array(h2)
+                good[fresh] = g2[fresh]
+                X[fresh] = X2[fresh]
+                nb[fresh] = nb2[fresh] + ci * CH
+                col[fresh] = col2[fresh]
+                claimed |= np.array(h2)
 
         with self.timer.time("tri/apply"):
             new_pids: List[int] = []
@@ -559,22 +672,36 @@ class LocalMapper:
                 for t2 in store.get_best_covisibles(t, 5):
                     if t2 != kid and t2 not in targets and t2 not in second:
                         second.append(t2)
-            all_targets = targets + second
+            # fixed target-stack height: 24 covers the reference's 20
+            # first-ring + second-ring picks; capping keeps ONE compiled
+            # fuse shape for the whole run
+            all_targets = (targets + second)[:24]
 
             # forward (this KF's points into each neighbor) and reverse
             # (neighbors' points into this KF) in ONE device call — the
             # reference runs them as 20+1 sequential searches
-            # (src/LocalMapping.cc:548-586)
-            own = [p for p in store.kfs[kid].frame.mp_ids
-                   if p >= 0 and store.mp_valid[p]]
-            cand = []
-            seen = set(own)
-            for t in all_targets:
-                for p in store.kfs[t].frame.mp_ids:
-                    if p >= 0 and p not in seen and store.mp_valid[p]:
-                        seen.add(p)
-                        cand.append(p)
-            cand = [p for p in cand if kid not in store.mp_obs[p]]
+            # (src/LocalMapping.cc:548-586); candidate collection is
+            # vectorized numpy over the obs mirror
+            f0 = store.kfs[kid].frame
+            own_arr = np.unique(f0.mp_ids[f0.mp_ids >= 0]).astype(np.int64)
+            if len(own_arr):
+                own_arr = own_arr[np.asarray(store.mp_valid[own_arr], bool)]
+            if all_targets:
+                allp = np.concatenate(
+                    [store.kfs[t].frame.mp_ids for t in all_targets])
+                allp = np.unique(allp[allp >= 0]).astype(np.int64)
+                if len(allp):
+                    allp = allp[np.asarray(store.mp_valid[allp], bool)]
+                cand_arr = np.setdiff1d(allp, own_arr, assume_unique=True)
+            else:
+                cand_arr = np.zeros(0, np.int64)
+            if len(cand_arr):
+                kidm, _, nm = store.obs.rows(cand_arr)
+                slot_ok = np.arange(kidm.shape[1])[None, :] < nm[:, None]
+                has_kid = ((kidm == kid) & slot_ok).any(1)
+                cand_arr = cand_arr[~has_kid]
+            own = own_arr.tolist()
+            cand = cand_arr.tolist()
         if own and all_targets and cand:
             self._fuse_combined(kid, all_targets, own, cand)
         else:
@@ -596,58 +723,70 @@ class LocalMapper:
         cfg = self.cfg
         f0 = store.kfs[kid].frame
 
-        own_soa = store.points_soa(own)
-        P1 = pad_bucket(len(own))
-        pad1 = P1 - len(own)
-        cand_soa = store.points_soa(cand)
-        P2 = pad_bucket(len(cand))
-        pad2 = P2 - len(cand)
+        P1 = pad_bucket(len(own), cfg.pad_min_bound)
+        own_rows = np.pad(np.asarray(own, np.int32), (0, P1 - len(own)),
+                          constant_values=-1)
+        P2 = pad_bucket(len(cand), cfg.pad_min_cand)
+        cand_rows = np.pad(np.asarray(cand, np.int32),
+                           (0, P2 - len(cand)), constant_values=-1)
+        store.dev_points.sync(store)
+        dp = store.dev_points
+        dp_args = (dp.pos, dp.desc, dp.normal, dp.min_d, dp.max_d,
+                   dp.valid)
 
         T = len(target_kids)
-        Tp = ((T + 3) // 4) * 4
+        CH = 8  # targets per kernel: short kernels let the camera-rate
+        #         tracking dispatch interleave in the device queue
+        n_ch = (T + CH - 1) // CH
         n2 = max(store.kfs[t].frame.n for t in target_kids)
         frames_t = [store.kfs[t].frame for t in target_kids]
-        stack_list = frames_t + [frames_t[0]] * (Tp - T)
-
-        def dstack(name):
-            return jnp.stack([fr.dev_padded(name, n2) for fr in stack_list])
-
-        Tcw_s = np.tile(np.eye(4, dtype=np.float32), (Tp, 1, 1))
-        kvalid = np.zeros((Tp, n2), bool)
-        for b, t in enumerate(target_kids):
-            Tcw_s[b] = store.kfs[t].Tcw
-            kvalid[b, :frames_t[b].n] = frames_t[b].valid
 
         fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
                           float(cfg.cam.cx), float(cfg.cam.cy))
         from ..geom.camera import undistorted_bounds
         bounds = undistorted_bounds(cfg.cam)
 
-        def pad_soa(soa, P, pad):
-            return (jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
-                    jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
-                    jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
-                    jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
-                    jnp.asarray(np.pad(soa["valid"], (0, pad))),
-                    jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))))
-
         with self.timer.time("fuse/device"), store.unlocked():
-            fwd, rev = _fuse_both_directions(
-                *pad_soa(own_soa, P1, pad1),
-                jnp.asarray(Tcw_s), dstack("xy"), dstack("octave"),
-                dstack("desc"), jnp.asarray(kvalid),
-                *pad_soa(cand_soa, P2, pad2),
+            own_rows_dev = jnp.asarray(own_rows)
+            fwd_parts = []
+            for ci in range(n_ch):
+                sub = frames_t[ci * CH:(ci + 1) * CH]
+                subk = target_kids[ci * CH:(ci + 1) * CH]
+                stack_list = sub + [sub[0]] * (CH - len(sub))
+                Tcw_s = np.tile(np.eye(4, dtype=np.float32), (CH, 1, 1))
+                kvalid = np.zeros((CH, n2), bool)
+                for b, t in enumerate(subk):
+                    Tcw_s[b] = store.kfs[t].Tcw
+                    kvalid[b, :sub[b].n] = sub[b].valid
+                fwd_parts.append(_fuse_stack_rows(
+                    *dp_args, own_rows_dev,
+                    jnp.asarray(Tcw_s),
+                    jnp.stack([fr.dev_padded("xy", n2)
+                               for fr in stack_list]),
+                    jnp.stack([fr.dev_padded("octave", n2)
+                               for fr in stack_list]),
+                    jnp.stack([fr.dev_padded("desc", n2)
+                               for fr in stack_list]),
+                    jnp.asarray(kvalid),
+                    self._j_scales, fx, fy, cx, cy, bounds,
+                    cfg.orb.n_levels, self.log_scale, th=3.0, ratio=1.0))
+            rev_dev = _fuse_reverse_rows(
+                *dp_args, jnp.asarray(cand_rows),
                 jnp.asarray(store.kfs[kid].Tcw),
                 f0.dev("xy"), f0.dev("octave"), f0.dev("desc"),
                 f0.dev("valid"),
-                self._j_scales,
-                fx, fy, cx, cy, bounds, cfg.orb.n_levels, self.log_scale,
-                th=3.0, ratio=1.0)
-            (sidx, sdist, svalid), (ridx, rdist, rvalid) = jax.device_get(
-                (fwd, rev))
+                self._j_scales, fx, fy, cx, cy, bounds,
+                cfg.orb.n_levels, self.log_scale, th=3.0, ratio=1.0)
+            # ONE batched read for all chunks + the reverse direction
+            parts, (ridx, rdist, rvalid) = jax.device_get(
+                (fwd_parts, rev_dev))
+            sidx = np.concatenate([p[0] for p in parts])
+            sdist = np.concatenate([p[1] for p in parts])
+            svalid = np.concatenate([p[2] for p in parts])
         with self.timer.time("fuse/apply"):
             for b, t in enumerate(target_kids):
                 self._apply_fuse(t, own, svalid[b], sidx[b], sdist[b])
+                store.yield_lock()
             self._apply_fuse(kid, cand, rvalid, ridx, rdist)
 
     def _apply_fuse(self, kid: int, pids: List[int], rvalid, ridx, rdist):
@@ -666,12 +805,19 @@ class LocalMapper:
             return
         alive = np.asarray(store.mp_valid[pid_arr[rows]], bool)
         rows = rows[alive]
+        if len(rows) == 0:
+            return
+        # "already observes this KF" test vectorized over the mirror
+        kidm, _, nm = store.obs.rows(pid_arr[rows])
+        slot_ok = np.arange(kidm.shape[1])[None, :] < nm[:, None]
+        has_kid = ((kidm == kid) & slot_ok).any(1)
+        rows = rows[~has_kid]
         feats = np.asarray(ridx[:n], np.int64)[rows]
         existing = f.mp_ids[feats]
         for j, feat, ex in zip(rows, feats, existing):
             pid = int(pid_arr[j])
             if kid in store.mp_obs[pid]:
-                continue
+                continue  # bound earlier in this very loop
             if ex >= 0 and store.mp_valid[ex]:
                 if ex == pid:
                     continue
@@ -689,10 +835,10 @@ class LocalMapper:
         store = self.store
         cfg = self.cfg
         soa = store.points_soa(pids)
-        P = pad_bucket(len(pids))
+        P = pad_bucket(len(pids), cfg.pad_min_cand)
         pad = P - len(pids)
         T = len(target_kids)
-        Tp = ((T + 3) // 4) * 4
+        Tp = 24
         n2 = max(store.kfs[t].frame.n for t in target_kids)
         frames_t = [store.kfs[t].frame for t in target_kids]
         stack_list = frames_t + [frames_t[0]] * (Tp - T)
@@ -802,20 +948,17 @@ class LocalMapper:
             if n_pts == 0:
                 continue
             levels = f.octave[fi]
-            # flatten all other observations, then vectorize the
-            # octave comparison (grouped gathers per observing KF)
-            obs_k, obs_f, obs_l = [], [], []
-            for li, p in enumerate(pids):
-                for okid, ofi in store.mp_obs[p].items():
-                    if okid != cand:
-                        obs_k.append(okid)
-                        obs_f.append(ofi)
-                        obs_l.append(li)
-            if not obs_k:
+            # flatten all other observations from the numpy obs mirror,
+            # then vectorize the octave comparison (grouped gathers per
+            # observing KF) — zero per-observation Python
+            kidm, fim, nm = store.obs.rows(pids)
+            slot_ok = (np.arange(kidm.shape[1])[None, :] < nm[:, None]) \
+                & (kidm != cand)
+            obs_l, cols = np.nonzero(slot_ok)
+            if len(obs_l) == 0:
                 continue
-            obs_k = np.asarray(obs_k)
-            obs_f = np.asarray(obs_f)
-            obs_l = np.asarray(obs_l)
+            obs_k = kidm[obs_l, cols]
+            obs_f = fim[obs_l, cols]
             octs = np.empty(len(obs_k), np.int32)
             for k in np.unique(obs_k):
                 m = obs_k == k
@@ -840,11 +983,16 @@ class AsyncMapper:
     at the next ``process_keyframe``/``drain`` call."""
 
     def __init__(self, mapper: LocalMapper):
+        import os
         import queue
         import threading
         self.mapper = mapper
         self._q = queue.Queue()
         self._exc = None
+        self._profile = None
+        if os.environ.get("ORB_SLAM2_TPU_PROFILE_MAPPER"):
+            import cProfile
+            self._profile = cProfile.Profile()
         self._thread = threading.Thread(
             target=self._run, name="local_mapping", daemon=True)
         self._thread.start()
@@ -859,8 +1007,18 @@ class AsyncMapper:
             try:
                 if kid is None:
                     return
+                # force the new KF's lazy host feature copies to
+                # materialize BEFORE taking the map lock — this is a
+                # device->host read (~tens of ms through a chip tunnel)
+                # that must not run inside a locked section
+                fr = self.mapper.store.kfs[kid].frame
+                _ = fr.desc, fr.octave, fr.xy, fr.angle, fr.valid
+                if self._profile is not None:
+                    self._profile.enable()
                 self.mapper.process_keyframe(
                     kid, queue_pressure=not self._q.empty())
+                if self._profile is not None:
+                    self._profile.disable()
             except BaseException as e:  # noqa: BLE001 — surfaced to caller
                 self._exc = e
             finally:
@@ -881,4 +1039,10 @@ class AsyncMapper:
         """System::Shutdown thread join (src/System.cc:173-192)."""
         self._q.put(None)
         self._thread.join()
+        if self._profile is not None:
+            import pstats
+            import sys
+            st = pstats.Stats(self._profile, stream=sys.stderr)
+            st.sort_stats("cumulative")
+            st.print_stats(25)
         self._reraise()

@@ -139,10 +139,11 @@ def _frustum_search_fused(pos, normal, min_d, max_d, pvalid, desc,
     "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale",
     "th_last", "th_local", "chi2"))
 def _track_prior_step(Tcw,
-                      last_pos, last_rows, last_valid,
+                      pt_pos, pt_desc, pt_normal, pt_min, pt_max,
+                      pt_alive,
+                      bound_pid_rows, last_rows, cand_rows,
                       last_octave_all, last_desc_all, last_angle_all,
-                      cand_pos, cand_normal, cand_min, cand_max,
-                      cand_valid, cand_desc, cand_bound_row,
+                      cand_bound_row,
                       kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
                       scale_factors, inv_sigma2,
                       fx, fy, cx, cy, bounds, n_levels, log_scale,
@@ -167,7 +168,27 @@ def _track_prior_step(Tcw,
     The local-map candidate set is prepared at the END of the previous
     frame (its covisibility vote uses that frame's final bindings — the
     reference votes with the current frame's bindings; one-frame lag in
-    the VOTE only, the search itself is exact)."""
+    the VOTE only, the search itself is exact).
+
+    The map-point SoA (pt_*) is the persistent DEVICE-RESIDENT store
+    (models/device_points.py): only the small row-index vectors cross
+    the host<->chip link each frame; positions/descriptors are gathered
+    here on device."""
+    # --- gather last-frame bound points from the device point store ---
+    b_ok = bound_pid_rows >= 0
+    b_rows = jnp.clip(bound_pid_rows, 0, None)
+    last_pos = pt_pos[b_rows]
+    last_valid = b_ok & pt_alive[b_rows]
+    # --- gather local-map candidates ---
+    c_ok = cand_rows >= 0
+    c_rows = jnp.clip(cand_rows, 0, None)
+    cand_pos = pt_pos[c_rows]
+    cand_normal = pt_normal[c_rows]
+    cand_min = pt_min[c_rows]
+    cand_max = pt_max[c_rows]
+    cand_valid = c_ok & pt_alive[c_rows]
+    cand_desc = pt_desc[c_rows]
+
     oct_ = last_octave_all[last_rows]
     desc = last_desc_all[last_rows]
     ang = last_angle_all[last_rows]
@@ -259,6 +280,7 @@ class Tracker:
         # device-side local-map preparation for the fused step, built at
         # the end of each tracked frame for the next one
         self._prep = None
+
         cam = config.cam
         self._cam_tuple = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
         from ..geom.camera import undistorted_bounds
@@ -568,6 +590,7 @@ class Tracker:
         store.kfs[k2].frame.Tcw = new_poses[1].copy()
         for j, p in enumerate(pids):
             store.mp_pos[p] = new_pts[j]
+        store.dirty_points.update(int(p) for p in pids)
         inl = inl_all[:len(obs_kf)]
         meta_kid, meta_fi = meta
         for o in np.where(~inl)[0]:
@@ -579,16 +602,21 @@ class Tracker:
     # frame-to-frame tracking
     # ------------------------------------------------------------------
     def _refresh_replaced_bindings(self, frame: Optional[Frame]):
-        """CheckReplacedMapPointsInLastFrame (src/Tracking.cc:581-597)."""
+        """CheckReplacedMapPointsInLastFrame (src/Tracking.cc:581-597),
+        vectorized (replace chains are almost always depth 0/1)."""
         if frame is None:
             return
-        for i, pid in enumerate(frame.mp_ids):
-            if pid >= 0:
-                r = self.store.resolve_replaced(pid)
-                if r != pid:
-                    frame.mp_ids[i] = r
-                if r < 0 or not self.store.mp_valid[r]:
-                    frame.mp_ids[i] = -1
+        rows = np.where(frame.mp_ids >= 0)[0]
+        if len(rows) == 0:
+            return
+        pids = frame.mp_ids[rows].astype(np.int64)
+        for _ in range(100):
+            rb = np.asarray(self.store.mp_replaced_by[pids], np.int64)
+            if not (rb >= 0).any():
+                break
+            pids = np.where(rb >= 0, rb, pids)
+        alive = np.asarray(self.store.mp_valid[pids], bool)
+        frame.mp_ids[rows] = np.where(alive, pids, -1).astype(np.int32)
 
     def _gather_last_frame_mps(self, last: Frame):
         has = (last.mp_ids >= 0) & ~last.mp_outlier
@@ -722,31 +750,26 @@ class Tracker:
         hit = sortedp[pos_in_c] == uniq
         cand_bound_row = np.where(hit, order[pos_in_c], -1).astype(np.int32)
 
-        L = pad_bucket(len(bound_idx))
-        C = pad_bucket(len(uniq))
+        L = pad_bucket(len(bound_idx), self.cfg.pad_min_bound)
+        C = pad_bucket(len(uniq), self.cfg.pad_min_cand)
         padl = L - len(bound_idx)
         padc = C - len(uniq)
-        soa = self.store.points_soa(uniq)
-        last_pos = np.zeros((L, 3), np.float32)
-        last_pos[:len(bound_idx)] = np.asarray(self.store.mp_pos[bound_pids])
-        last_valid = np.zeros(L, bool)
-        last_valid[:len(bound_idx)] = True
+        # refresh the device-resident point store (only dirty rows
+        # cross the link), then ship ONLY row-index vectors — the
+        # positions/descriptors are gathered on device in the fused step
+        self.store.dev_points.sync(self.store)
         self._prep = dict(
             frame=frame,
             bound_idx=bound_idx.astype(np.int32),
             bound_pids=bound_pids,
             cand_pids=uniq.astype(np.int64),
-            last_pos=jnp.asarray(last_pos),
+            bound_pid_rows=jnp.asarray(np.pad(
+                bound_pids.astype(np.int32), (0, padl),
+                constant_values=-1)),
             last_rows=jnp.asarray(np.pad(bound_idx.astype(np.int32),
                                          (0, padl))),
-            last_valid=jnp.asarray(last_valid),
-            cand_pos=jnp.asarray(np.pad(soa["pos"], ((0, padc), (0, 0)))),
-            cand_normal=jnp.asarray(
-                np.pad(soa["normal"], ((0, padc), (0, 0)))),
-            cand_min=jnp.asarray(np.pad(soa["min_dist"], (0, padc))),
-            cand_max=jnp.asarray(np.pad(soa["max_dist"], (0, padc))),
-            cand_valid=jnp.asarray(np.pad(soa["valid"], (0, padc))),
-            cand_desc=jnp.asarray(np.pad(soa["desc"], ((0, padc), (0, 0)))),
+            cand_rows=jnp.asarray(np.pad(
+                uniq.astype(np.int32), (0, padc), constant_values=-1)),
             cand_bound_row=jnp.asarray(
                 np.pad(cand_bound_row, (0, padc), constant_values=-1)),
         )
@@ -762,12 +785,12 @@ class Tracker:
         th_local = 3.0 if (frame.frame_id - self.last_reloc_frame_id
                            < self.cfg.max_frames_between_kf) else 1.0
         with self.timer.time("fused/dispatch"):
+            dp = self.store.dev_points
             out = _track_prior_step(
                 jnp.asarray(frame.Tcw),
-                p["last_pos"], p["last_rows"], p["last_valid"],
+                dp.pos, dp.desc, dp.normal, dp.min_d, dp.max_d, dp.valid,
+                p["bound_pid_rows"], p["last_rows"], p["cand_rows"],
                 last.dev("octave"), last.dev("desc"), last.dev("angle"),
-                p["cand_pos"], p["cand_normal"], p["cand_min"],
-                p["cand_max"], p["cand_valid"], p["cand_desc"],
                 p["cand_bound_row"],
                 frame.dev("xy"), frame.dev("octave"), frame.dev("desc"),
                 frame.dev("valid"), frame.dev("angle"),
@@ -916,13 +939,20 @@ class Tracker:
         """UpdateLocalKeyFrames (src/Tracking.cc:890-1005): vote by
         shared observations, add covisible neighbors/children/parent,
         cap at 80."""
-        votes = {}
-        for pid in frame.mp_ids:
-            if pid >= 0 and self.store.mp_valid[pid]:
-                for kid in self.store.mp_obs[pid]:
-                    votes[kid] = votes.get(kid, 0) + 1
-        if not votes:
+        pids = frame.mp_ids[frame.mp_ids >= 0].astype(np.int64)
+        if len(pids):
+            pids = pids[np.asarray(self.store.mp_valid[pids], bool)]
+        if len(pids) == 0:
             return []
+        # vectorized observation vote over the obs mirror
+        kidm, _, nm = self.store.obs.rows(pids)
+        slot_ok = np.arange(kidm.shape[1])[None, :] < nm[:, None]
+        voted = kidm[slot_ok]
+        if len(voted) == 0:
+            return []
+        cnt = np.bincount(voted)
+        nz = np.nonzero(cnt)[0]
+        votes = {int(k): int(cnt[k]) for k in nz}
         local = sorted(votes, key=votes.get, reverse=True)
         local = [k for k in local if self.store.kfs[k].valid]
         out = list(local)
@@ -978,10 +1008,11 @@ class Tracker:
         good = 0
         if len(cand):
             with self.timer.time("lm/prep"):
-                n = pad_bucket(len(cand))
+                n = pad_bucket(len(cand), self.cfg.pad_min_cand)
                 soa = self.store.points_soa(cand)
                 pad = n - len(cand)
-                nb = pad_bucket(max(len(bound_idx), 1))
+                nb = pad_bucket(max(len(bound_idx), 1),
+                                self.cfg.pad_min_bound)
                 padb = nb - len(bound_idx)
                 old_pos = np.zeros((nb, 3), np.float32)
                 if len(bound_idx):
@@ -1061,9 +1092,10 @@ class Tracker:
             return False
         min_obs = 3 if n_kfs > 2 else 2
         ref = self.store.kfs[self.ref_kf].frame
-        n_ref = sum(1 for p in ref.mp_ids
-                    if p >= 0 and self.store.mp_valid[p]
-                    and len(self.store.mp_obs[p]) >= min_obs)
+        rp = ref.mp_ids[ref.mp_ids >= 0].astype(np.int64)
+        if len(rp):
+            rp = rp[np.asarray(self.store.mp_valid[rp], bool)]
+        n_ref = int((self.store.obs.n[rp] >= min_obs).sum()) if len(rp) else 0
         c1a = frame.frame_id >= self.last_kf_frame_id + self.cfg.max_frames_between_kf
         c1b = frame.frame_id >= self.last_kf_frame_id + self.cfg.min_frames_between_kf
         c2 = (self.matches_inliers < n_ref * self.cfg.ref_ratio

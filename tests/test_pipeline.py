@@ -150,7 +150,7 @@ class TestAsyncMapping:
         from orb_slam2_tpu.pipeline.local_mapping import AsyncMapper
 
         class Boom:
-            def process_keyframe(self, kid):
+            def process_keyframe(self, kid, queue_pressure=False):
                 raise RuntimeError("mapper failed")
 
         w = AsyncMapper(Boom())
