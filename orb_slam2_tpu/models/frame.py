@@ -136,15 +136,23 @@ class FrameFactory:
 
         return run
 
-    def start(self, image: np.ndarray, init_mode: bool = False):
+    def start(self, image, init_mode: bool = False):
         """Dispatch extraction asynchronously (JAX queues the work and
         returns immediately).  Pair with :meth:`make` via ``started=`` —
         lets a pipeline extract frame t+1 while frame t is processed on
-        the host."""
-        img_np = np.asarray(image)
-        if img_np.dtype != np.uint8:
-            img_np = np.asarray(img_np, np.float32)
-        img = jnp.asarray(img_np)
+        the host.
+
+        ``image`` may be a numpy array (uploaded here; uint8 stays
+        uint8 — 4x less link traffic) or an array ALREADY on device
+        (e.g. frames pre-staged in HBM, or produced by an on-device
+        camera/ISP path) — used as-is with no host round trip."""
+        if isinstance(image, jnp.ndarray):
+            img = image
+        else:
+            img_np = np.asarray(image)
+            if img_np.dtype != np.uint8:
+                img_np = np.asarray(img_np, np.float32)
+            img = jnp.asarray(img_np)
         feats, und = self._pipeline(img.shape[0], img.shape[1], init_mode)(img)
         return (feats, und, init_mode)
 

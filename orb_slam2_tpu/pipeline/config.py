@@ -73,6 +73,17 @@ class SlamConfig:
     pad_min_obs: int = 256      # BA observation rows
     pad_min_pts: int = 256      # BA point rows
 
+    # --- one-frame-lag pipelined tracking (pose-prior mode) ---
+    # When True, the fused tracking step for frame t is dispatched and
+    # its RESULTS are consumed at the start of frame t+1 (the transfer
+    # runs in the background via copy_to_host_async), so the host's
+    # round-trip wait disappears from the frame period.  Bindings and
+    # keyframe decisions are identical to the sequential mode, just
+    # committed one frame later; the reported state lags one frame.
+    # Throughput mode for camera-rate deployments; default off
+    # (deterministic same-frame semantics for tests/tools).
+    pipelined_tracking: bool = False
+
     @property
     def max_frames_between_kf(self) -> int:
         return int(self.fps)  # mMaxFrames = fps (src/Tracking.cc:128-134)

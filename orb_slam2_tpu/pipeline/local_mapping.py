@@ -85,6 +85,14 @@ def _fuse_project_stack(pos, normal, min_d, max_d, pvalid, desc,
                             n_levels, log_scale, th, ratio)
 
 
+def _unpack_mask(packed, n):
+    """Device-side np.packbits inverse: (B, n/8) uint8 -> (B, n) bool
+    (big-endian bit order, matching numpy's default)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[0], -1)[:, :n].astype(bool)
+
+
 def _gather_rows(pt_pos, pt_desc, pt_normal, pt_min, pt_max, pt_alive,
                  rows):
     """Gather a padded row-index vector (-1 = empty slot) from the
@@ -100,14 +108,16 @@ def _gather_rows(pt_pos, pt_desc, pt_normal, pt_min, pt_max, pt_alive,
     "ratio"))
 def _fuse_stack_rows(pt_pos, pt_desc, pt_normal, pt_min, pt_max,
                      pt_alive, rows,
-                     Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
+                     Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_packed,
                      scale_factors, fx, fy, cx, cy, bounds,
                      n_levels, log_scale, th=3.0, ratio=1.0):
     """Forward fuse with the point set gathered ON DEVICE by row index
     from the persistent point store — only the (P,) index vector
-    crosses the link instead of a ~65 B/point SoA copy."""
+    crosses the link instead of a ~65 B/point SoA copy; the per-target
+    keypoint validity mask arrives bit-packed (8x smaller)."""
     pos, normal, min_d, max_d, pvalid, desc = _gather_rows(
         pt_pos, pt_desc, pt_normal, pt_min, pt_max, pt_alive, rows)
+    kvalid_s = _unpack_mask(kvalid_packed, kxy_s.shape[1])
     return _fuse_stack_impl(pos, normal, min_d, max_d, pvalid, desc,
                             Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
                             scale_factors, fx, fy, cx, cy, bounds,
@@ -162,7 +172,7 @@ def _fuse_both_directions(
     "fx", "fy", "cx", "cy", "scale_ratio_factor"))
 def _triangulate_neighbors_fused(
         xy1, desc1, valid1, octave1, angle1, Tcw1,
-        xy2_s, desc2_s, valid2_s, oct2_s, ang2_s,
+        xy2_s, desc2_s, valid2_packed, oct2_s, ang2_s,
         F12_s, epi_s, Tcw2_s, o2_s, nb_valid,
         K, sigma2, scale_factors,
         fx, fy, cx, cy, scale_ratio_factor):
@@ -178,6 +188,8 @@ def _triangulate_neighbors_fused(
        (src/LocalMapping.cc:380-470).
 
     Returns per-KF1-row: (good, X, nb, col)."""
+    valid2_s = _unpack_mask(valid2_packed, xy2_s.shape[1])
+
     def body(args):
         xy2, d2, v2, o2, a2, F, e = args
         r = search.search_for_triangulation(
@@ -256,6 +268,20 @@ def gather_ba_problem(store: MapStore, kf_ids: List[int], inv_sigma2):
     return [int(p) for p in uniq], (obs_kf, obs_pt, obs_uv, obs_sig, meta)
 
 
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",
+                                             "iters"))
+def _sba_step_gathered(points0, obs_pt, kf_poses, xy_stack, oct_stack,
+                       inv_sigma2_lvl, obs_cam, obs_fi, obs_valid,
+                       fx, fy, cx, cy, iters):
+    """Structure-BA chunk with measurements gathered on device from the
+    keyframes' resident feature arrays."""
+    obs_uv = xy_stack[obs_cam, obs_fi]
+    obs_sig = inv_sigma2_lvl[oct_stack[obs_cam, obs_fi]]
+    return points_opt.optimize_points(
+        points0, obs_pt, kf_poses, obs_uv, obs_sig, obs_valid,
+        fx, fy, cx, cy, iters=iters, obs_cam=obs_cam)
+
+
 def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
                      iters: int = 10, timer: StageTimer | None = None):
     """Fixed-pose local BA == independent point refinement
@@ -280,28 +306,43 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
                                 (Kp - len(kf_ids), 4, 4))])
     fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
                       float(cfg.cam.cx), float(cfg.cam.cy))
+    meta_kid, meta_fi = meta
+    n2 = max(store.kfs[k].frame.n for k in kf_ids)
     with timer.time("sba/device"), store.unlocked():
         # LM iterations run in SHORT chunks (one dispatch each, point
         # state stays on device between chunks) so the camera-rate
         # tracking dispatch can slot into the device queue between
         # them — one long fori_loop kernel would block the queue for
         # its whole duration.  Chunk round trips cost the MAPPING
-        # thread only.
+        # thread only.  Measurements (uv) and information (per-octave
+        # sigma) gather ON DEVICE from the keyframes' resident feature
+        # arrays — only index vectors cross the link.
+        xy_stack = jnp.stack(
+            [store.kfs[k].frame.dev_padded("xy", n2) for k in kf_ids]
+            + [store.kfs[kf_ids[0]].frame.dev_padded("xy", n2)]
+            * (Kp - len(kf_ids)))
+        oct_stack = jnp.stack(
+            [store.kfs[k].frame.dev_padded("octave", n2) for k in kf_ids]
+            + [store.kfs[kf_ids[0]].frame.dev_padded("octave", n2)]
+            * (Kp - len(kf_ids)))
         pts_dev = jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0))))
-        args = (jnp.asarray(np.pad(obs_pt, (0, padO))),
-                jnp.asarray(poses_p.astype(np.float32)),
-                jnp.asarray(np.pad(obs_uv, ((0, padO), (0, 0)))),
-                jnp.asarray(np.pad(obs_sig, (0, padO))),
-                jnp.asarray(np.pad(np.ones(len(obs_kf), bool), (0, padO))))
+        obs_pt_dev = jnp.asarray(np.pad(obs_pt, (0, padO)))
+        poses_dev = jnp.asarray(poses_p.astype(np.float32))
+        obs_fi_dev = jnp.asarray(np.pad(meta_fi.astype(np.int32),
+                                        (0, padO)))
+        obs_valid_dev = jnp.asarray(np.pad(np.ones(len(obs_kf), bool),
+                                           (0, padO)))
         obs_cam_dev = jnp.asarray(np.pad(obs_kf, (0, padO)))
+        isig_dev = jnp.asarray(inv_sigma2)
         chunk = 3
         done = 0
         res = None
         while done < iters:
             it = min(chunk, iters - done)
-            res = points_opt.optimize_points(
-                pts_dev, *args, fx, fy, cx, cy, iters=it,
-                obs_cam=obs_cam_dev)
+            res = _sba_step_gathered(
+                pts_dev, obs_pt_dev, poses_dev, xy_stack, oct_stack,
+                isig_dev, obs_cam_dev, obs_fi_dev, obs_valid_dev,
+                fx, fy, cx, cy, it)
             pts_dev = res.points
             done += it
         new_pts_all, inl_all = jax.device_get((res.points, res.obs_inlier))
@@ -611,7 +652,7 @@ class LocalMapper:
                                for fr in stack_list]),
                     jnp.stack([fr.dev_padded("desc", n2)
                                for fr in stack_list]),
-                    jnp.asarray(valid2),
+                    jnp.asarray(np.packbits(valid2, axis=1)),
                     jnp.stack([fr.dev_padded("octave", n2)
                                for fr in stack_list]),
                     jnp.stack([fr.dev_padded("angle", n2)
@@ -639,7 +680,9 @@ class LocalMapper:
 
         with self.timer.time("tri/apply"):
             new_pids: List[int] = []
-            for r in np.where(good)[0]:
+            for i_r, r in enumerate(np.where(good)[0]):
+                if i_r % 64 == 63:
+                    store.yield_lock()
                 kid2 = elig[nb[r]][0]
                 f2 = store.kfs[kid2].frame
                 c = int(col[r])
@@ -767,7 +810,7 @@ class LocalMapper:
                                for fr in stack_list]),
                     jnp.stack([fr.dev_padded("desc", n2)
                                for fr in stack_list]),
-                    jnp.asarray(kvalid),
+                    jnp.asarray(np.packbits(kvalid, axis=1)),
                     self._j_scales, fx, fy, cx, cy, bounds,
                     cfg.orb.n_levels, self.log_scale, th=3.0, ratio=1.0))
             rev_dev = _fuse_reverse_rows(
@@ -935,6 +978,7 @@ class LocalMapper:
         same or finer scale elsewhere."""
         store = self.store
         for cand in store.get_best_covisibles(kid, 10 ** 9):
+            store.yield_lock()  # camera-rate thread gets a slot
             if cand == 0 or not store.kfs[cand].valid:
                 continue
             f = store.kfs[cand].frame
@@ -1011,8 +1055,10 @@ class AsyncMapper:
                 # materialize BEFORE taking the map lock — this is a
                 # device->host read (~tens of ms through a chip tunnel)
                 # that must not run inside a locked section
-                fr = self.mapper.store.kfs[kid].frame
-                _ = fr.desc, fr.octave, fr.xy, fr.angle, fr.valid
+                store = getattr(self.mapper, "store", None)
+                if store is not None and kid < len(store.kfs):
+                    fr = store.kfs[kid].frame
+                    _ = fr.desc, fr.octave, fr.xy, fr.angle, fr.valid
                 if self._profile is not None:
                     self._profile.enable()
                 self.mapper.process_keyframe(

@@ -75,17 +75,22 @@ class PlaceRecognition:
         but exclude the query KF in the candidate searches."""
         if self.vocab is None:
             self._pending.append(kid)
-            self._train_if_ready()
-            if self.vocab is None:
-                return
-            for p in self._pending:
-                if self.store.kfs[p].valid and p not in self.bow:
-                    vec = self._compute_bow(p)
-                    self.bow[p] = vec
-                    self.db.add(p, vec)
+            with self.store.unlocked():
+                # k-medians training + backfill transforms read only
+                # immutable frame descriptors — don't hold the map lock
+                # (tens of ms of host compute on the mapping thread)
+                self._train_if_ready()
+                if self.vocab is None:
+                    return
+                vecs = [(p, self._compute_bow(p)) for p in self._pending
+                        if self.store.kfs[p].valid and p not in self.bow]
+            for p, vec in vecs:
+                self.bow[p] = vec
+                self.db.add(p, vec)
             self._pending.clear()
             return
-        vec = self._compute_bow(kid)
+        with self.store.unlocked():
+            vec = self._compute_bow(kid)
         self.bow[kid] = vec
         self.db.add(kid, vec)
 

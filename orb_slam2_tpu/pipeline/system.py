@@ -78,6 +78,11 @@ class System:
         else:
             self.mapper.process_keyframe(kid)
 
+    def flush_tracking(self):
+        """Finalize any in-flight pipelined frame (no-op unless
+        cfg.pipelined_tracking)."""
+        self.tracker.flush()
+
     def flush_mapping(self):
         """Block until all queued keyframes are mapped (no-op in the
         sequential pipeline)."""
@@ -110,7 +115,9 @@ class System:
         its results are read, so the device computes the next extraction
         while this frame's results return over the tunnel (the
         throughput role of the reference's tracking thread)."""
-        self._last_image = np.asarray(image)
+        # kept as-is (may live on device); materialized lazily only by
+        # the PLY color export
+        self._last_image = image
         hook = None
         if next_image is not None:
             hook = lambda: self.prefetch(next_image)  # noqa: E731
@@ -144,6 +151,7 @@ class System:
     # ------------------------------------------------------------------
     def reset(self):
         """System/Tracking::Reset (src/Tracking.cc:1009-1052)."""
+        self.tracker._pending = None  # drop any in-flight pipelined frame
         self.flush_mapping()  # reference's blocking reset handshake
         self.store = MapStore()
         self.store.set_scale_info(self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
@@ -179,6 +187,7 @@ class System:
         joins its LocalMapping/LoopClosing/Viewer threads; the async
         pipeline joins the mapping worker, and either way it blocks
         until any queued device work drains."""
+        self.tracker.flush()  # finalize any in-flight pipelined frame
         if self.map_worker is not None:
             self.map_worker.drain()
             self.map_worker.stop()
@@ -248,6 +257,8 @@ class System:
         pts_cam = pos_w @ Tin[:3, :3].T + Tin[:3, 3]
         uv = frame.xy_raw[feat]
         img = getattr(self, "_last_image", None)
+        if img is not None:
+            img = np.asarray(img)  # materialize device-resident frames
         if img is None:
             colors = np.full((len(feat), 3), 255, np.uint8)
         else:

@@ -158,3 +158,28 @@ class TestAsyncMapping:
         with pytest.raises(RuntimeError, match="mapper failed"):
             w.drain()
         w.stop()
+
+
+class TestPipelinedTracking:
+    """cfg.pipelined_tracking=True: frame t's fused step is consumed at
+    frame t+1 (one-frame-lag pipeline).  Bindings/KF decisions must be
+    the same as sequential mode, just committed a frame later."""
+
+    def test_pipelined_matches_sequential_quality(self, world):
+        poses = synth.aerial_trajectory(30, speed=0.3)
+        cfg = make_config(pose_prior=True)
+        cfg.pipelined_tracking = True
+        sys = System(cfg, enable_loop_closing=False)
+        states = []
+        for i, T in enumerate(poses):
+            img = synth.render(world, CAM, T)
+            sys.track_monocular_with_pose(img, i * 0.1, T)
+            states.append(sys.state)
+        sys.flush_tracking()
+        assert sys.tracker._pending is None
+        ok_frames = sum(s == TrackState.OK for s in states)
+        assert ok_frames > 23, f"only {ok_frames} OK: {states}"
+        pts = sys.map_points()
+        assert len(pts) > 200
+        assert np.median(np.abs(pts[:, 2])) < 0.08
+        assert sys.store.n_valid_keyframes() >= 2
