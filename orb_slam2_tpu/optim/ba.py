@@ -81,8 +81,21 @@ def _assemble(cam_Tcw, points, obs_cam, obs_pt, obs_uv, obs_isig2, obs_w_extra,
 
     rho = jnp.where(c2 > CHI2_MONO, 2.0 * jnp.sqrt(c2 * CHI2_MONO) - CHI2_MONO, c2) \
         if use_huber else c2
-    cost = psum(jnp.sum(jnp.where((obs_w_extra > 0) & (res.depth > 0), rho, 0.0)))
+    cost = psum(jnp.sum(jnp.where(obs_w_extra > 0,
+                                  jnp.where(res.depth > 0, rho,
+                                            INVALID_DEPTH_PENALTY),
+                                  0.0)))
     return Hcc, Hpp, gc, gp, W, cost
+
+
+# A residual whose point falls behind the camera must COST, not vanish:
+# excluding it lets LM "improve" the objective by flinging points to
+# negative depth (cost monotonically ->0 while the state diverges to
+# inf/NaN — observed on post-loop GBA with large initial drift).  g2o
+# keeps such edges active with their (huge) chi2; a flat penalty per
+# invalid observation preserves that no-free-lunch property while
+# keeping the compiled graph branch-free.
+INVALID_DEPTH_PENALTY = 1.0e8
 
 
 def _cost_only(cam_Tcw, points, obs_cam, obs_pt, obs_uv, obs_isig2,
@@ -93,7 +106,10 @@ def _cost_only(cam_Tcw, points, obs_cam, obs_pt, obs_uv, obs_isig2,
     c2 = reproj.chi2(res.r, obs_isig2)
     rho = jnp.where(c2 > CHI2_MONO, 2.0 * jnp.sqrt(c2 * CHI2_MONO) - CHI2_MONO, c2) \
         if use_huber else c2
-    return psum(jnp.sum(jnp.where((obs_w_extra > 0) & (res.depth > 0), rho, 0.0)))
+    return psum(jnp.sum(jnp.where(obs_w_extra > 0,
+                                  jnp.where(res.depth > 0, rho,
+                                            INVALID_DEPTH_PENALTY),
+                                  0.0)))
 
 
 def _solve_step(Hcc, Hpp, gc, gp, W, obs_cam, obs_pt, lam, fixed_cam, psum,

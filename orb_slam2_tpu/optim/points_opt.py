@@ -69,8 +69,12 @@ def optimize_points(
         g = jnp.zeros((P, 3)).at[obs_pt].add(go)
         rho = jnp.where(c2 > CHI2_MONO,
                         2.0 * jnp.sqrt(c2 * CHI2_MONO) - CHI2_MONO, c2) if use_huber else c2
+        # behind-camera residuals must COST, not vanish — otherwise the
+        # per-point accept test rewards flinging a point to negative
+        # depth (see optim/ba.py INVALID_DEPTH_PENALTY)
+        rho_eff = jnp.where(res.depth > 0, rho, 1.0e8)
         cost_p = jnp.zeros((P,)).at[obs_pt].add(
-            jnp.where(obs_valid & (res.depth > 0), rho, 0.0))
+            jnp.where(obs_valid, rho_eff, 0.0))
         return H, g, cost_p
 
     def body(_, st):

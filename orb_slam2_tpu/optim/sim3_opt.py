@@ -24,6 +24,16 @@ import jax.numpy as jnp
 from ..geom import sim3
 
 CHI2_SIM3 = 10.0
+# Extra Levenberg damping on the log-scale coordinate.  In this left
+# chart a pure sigma step scales s and t TOGETHER, which leaves both
+# reprojection directions nearly unchanged when the two cameras sit at
+# (almost) the same spot — a flat valley along which plain LM
+# random-walks the scale by orders of magnitude (observed: Horn s=1.01
+# -> "optimized" s=65, inliers unchanged).  Damping caps each sigma
+# step at g_sigma/W without shifting the optimum: when scale IS
+# observable the data gradient still drives sigma to its unbiased
+# fixed point in a few iterations.
+SCALE_DAMPING_W = 2.0e4
 
 
 class Sim3OptResult(NamedTuple):
@@ -101,11 +111,14 @@ def optimize_sim3(
             J = jax.jacfwd(rf)(xi0)  # (2N*2, 7)
             H = J.T @ J
             g = J.T @ r0
+            # sigma-specific damping: see SCALE_DAMPING_W above
+            H = H.at[6, 6].add(SCALE_DAMPING_W)
             if fix_scale:
                 # pin the scale coordinate
                 H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
                 g = g.at[6].set(0.0)
-            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(7)
+            Hd = (H + lam * jnp.diag(jnp.diag(H))
+                  + (1e-6 * jnp.trace(H) / 7.0 + 1e-8) * jnp.eye(7))
             dx = -jnp.linalg.solve(Hd, g)
             S_new = sim3.compose(sim3.exp(dx), S12)
             c_new, _ = cost_and_state(S_new, active)
