@@ -159,3 +159,164 @@ def hamming_top2_xla(desc1, desc2, valid2):
     d2 = jnp.where(cols == best_idx[:, None], jnp.int32(BIG), d)
     second = jnp.min(d2, axis=1)
     return best, best_idx, second
+
+
+# ----------------------------------------------------------------------
+# v2: masked top-2 + mutual-best in ONE kernel.
+#
+# Reproduces the full windowed projection-search inner loop
+# (SearchByProjection's radius window + pyramid-level band + validity
+# masks, src/ORBmatcher.cc:64-160 / :1633-1797) without ever
+# materializing the (N, M) distance matrix or its ~6 mask byproducts
+# in HBM.  Distances and indices travel as PACKED KEYS
+# (key = dist * M + col), so plain f32 MIN reductions reproduce
+# jnp.argmin's first-index tie-breaking exactly — no argmin, no
+# in-kernel gathers (both are Mosaic trouble spots).
+#
+# Row attributes ride in ONE (G, 8, T) block using sublane rows:
+#   0: proj u   1: proj v   2: radius   3: lvl_min   4: lvl_max
+#   5: row valid
+# Column attributes likewise: 0: kp x  1: kp y  2: octave  3: valid.
+# ----------------------------------------------------------------------
+
+MASK_D = 1023.0      # masked-pair distance sentinel (real max is 256)
+COL_STRIDE = 4096    # key = d * COL_STRIDE + col  (requires M <= 4096)
+ROW_STRIDE = 16384   # colkey = d * ROW_STRIDE + row (requires N <= 16384)
+
+
+def _masked_kernel(d1_ref, d2_ref, rattr_ref, cattr_ref,
+                   bkey_ref, skey_ref, ckey_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    d1 = d1_ref[:]
+    d2 = d2_ref[:]
+    dot = jnp.zeros((d1.shape[0], d2.shape[0]), jnp.float32)
+    for w in range(8):
+        a = _unpack_word_pm1(d1, w)
+        b = _unpack_word_pm1(d2, w)
+        dot = dot + jax.lax.dot_general(
+            a, b.T, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    d = (256.0 - dot) * 0.5                     # (T, T) exact small ints
+
+    ux = rattr_ref[0, 0, :][:, None]
+    uy = rattr_ref[0, 1, :][:, None]
+    rad = rattr_ref[0, 2, :][:, None]
+    lmin = rattr_ref[0, 3, :][:, None]
+    lmax = rattr_ref[0, 4, :][:, None]
+    rval = rattr_ref[0, 5, :][:, None]
+    cx = cattr_ref[0, 0, :][None, :]
+    cy = cattr_ref[0, 1, :][None, :]
+    coct = cattr_ref[0, 2, :][None, :]
+    cval = cattr_ref[0, 3, :][None, :]
+
+    ok = ((rval > 0) & (cval > 0)
+          & (jnp.abs(ux - cx) <= rad) & (jnp.abs(uy - cy) <= rad)
+          & (coct >= lmin) & (coct <= lmax))
+    dm = jnp.where(ok, d, MASK_D)
+
+    cols = jax.lax.broadcasted_iota(jnp.float32, dm.shape, 1) + j * TILE
+    rows = jax.lax.broadcasted_iota(jnp.float32, dm.shape, 0) + i * TILE
+    key = dm * COL_STRIDE + cols                # f32-exact (< 2^24)
+    ckey = dm * ROW_STRIDE + rows
+
+    lb = jnp.min(key, axis=1)
+    key2 = jnp.where(key == lb[:, None], MASK_D * COL_STRIDE + cols, key)
+    ls = jnp.min(key2, axis=1)
+    lc = jnp.min(ckey, axis=0)
+
+    @pl.when(j == 0)
+    def _():
+        bkey_ref[0, 0, :] = lb
+        skey_ref[0, 0, :] = ls
+
+    @pl.when(j != 0)
+    def _():
+        b0 = bkey_ref[0, 0, :]
+        s0 = skey_ref[0, 0, :]
+        bkey_ref[0, 0, :] = jnp.minimum(b0, lb)
+        skey_ref[0, 0, :] = jnp.minimum(jnp.maximum(b0, lb),
+                                        jnp.minimum(s0, ls))
+
+    @pl.when(i == 0)
+    def _():
+        ckey_ref[0, 0, :] = lc
+
+    @pl.when(i != 0)
+    def _():
+        ckey_ref[0, 0, :] = jnp.minimum(ckey_ref[0, 0, :], lc)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def masked_top2_mutual(desc1, desc2, row_attr, col_attr,
+                       interpret: bool = False):
+    """(N, 8) x (M, 8) descs + packed attribute blocks ->
+    (best_key (N,), second_key (N,), col_key (M,)) as int32.
+
+    row_attr: (N, 6) f32 [u, v, radius, lvl_min, lvl_max, valid]
+    col_attr: (M, 4) f32 [x, y, octave, valid]
+    Decode: dist = key // COL_STRIDE, col = key % COL_STRIDE;
+    col-side row = col_key % ROW_STRIDE.  dist == MASK_D -> no match.
+    """
+    N, M = desc1.shape[0], desc2.shape[0]
+    assert N % TILE == 0 and M % TILE == 0, (N, M)
+    assert M <= COL_STRIDE and N <= ROW_STRIDE, (N, M)
+    grid = (N // TILE, M // TILE)
+
+    ra = jnp.zeros((N // TILE, 8, TILE), jnp.float32)
+    ra = ra.at[:, :6, :].set(
+        row_attr.T.reshape(6, N // TILE, TILE).transpose(1, 0, 2))
+    ca = jnp.zeros((M // TILE, 8, TILE), jnp.float32)
+    ca = ca.at[:, :4, :].set(
+        col_attr.T.reshape(4, M // TILE, TILE).transpose(1, 0, 2))
+
+    vec_i = pl.BlockSpec((1, 8, TILE), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vec_j = pl.BlockSpec((1, 8, TILE), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bkey, skey, ckey = pl.pallas_call(
+        _masked_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            vec_i, vec_j,
+        ],
+        out_specs=[vec_i, vec_i, vec_j],
+        out_shape=[
+            jax.ShapeDtypeStruct((N // TILE, 8, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((N // TILE, 8, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((M // TILE, 8, TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(desc1, desc2, ra, ca)
+    return (bkey[:, 0, :].reshape(N).astype(jnp.int32),
+            skey[:, 0, :].reshape(N).astype(jnp.int32),
+            ckey[:, 0, :].reshape(M).astype(jnp.int32))
+
+
+def masked_top2_mutual_xla(desc1, desc2, row_attr, col_attr):
+    """Bit-exact XLA twin of :func:`masked_top2_mutual` (oracle + the
+    non-TPU execution path)."""
+    from . import core
+    N, M = desc1.shape[0], desc2.shape[0]
+    d = core.hamming_matrix(desc1, desc2).astype(jnp.float32)
+    ux, uy, rad, lmin, lmax, rval = [row_attr[:, k][:, None]
+                                     for k in range(6)]
+    cx, cy, coct, cval = [col_attr[:, k][None, :] for k in range(4)]
+    ok = ((rval > 0) & (cval > 0)
+          & (jnp.abs(ux - cx) <= rad) & (jnp.abs(uy - cy) <= rad)
+          & (coct >= lmin) & (coct <= lmax))
+    dm = jnp.where(ok, d, MASK_D)
+    cols = jnp.arange(M, dtype=jnp.float32)[None, :]
+    rows = jnp.arange(N, dtype=jnp.float32)[:, None]
+    key = dm * COL_STRIDE + cols
+    ckey = dm * ROW_STRIDE + rows
+    bkey = jnp.min(key, axis=1)
+    key2 = jnp.where(key == bkey[:, None], MASK_D * COL_STRIDE + cols, key)
+    skey = jnp.min(key2, axis=1)
+    return (bkey.astype(jnp.int32), skey.astype(jnp.int32),
+            jnp.min(ckey, axis=0).astype(jnp.int32))

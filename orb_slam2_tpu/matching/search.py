@@ -28,6 +28,42 @@ def _chebyshev_window_mask(xy1: jnp.ndarray, xy2: jnp.ndarray, radius) -> jnp.nd
     return (dx <= r) & (dy <= r)
 
 
+
+
+def _pallas_eligible(n_rows: int, n_cols: int) -> bool:
+    """The fused Pallas projection-search kernel applies on TPU when the
+    padded shapes satisfy its tiling/stride limits."""
+    from . import pallas_hamming as ph
+    return (ph._on_tpu() and n_rows % ph.TILE == 0
+            and n_cols % ph.TILE == 0
+            and n_cols <= ph.COL_STRIDE and n_rows <= ph.ROW_STRIDE)
+
+
+def _windowed_top2(desc_rows, desc_cols, uv, radius, lmin, lmax, rvalid,
+                   kp_xy, kp_octave, cvalid):
+    """Masked windowed top-2 + column-best, Pallas on TPU / XLA twin
+    elsewhere.  Returns (best, best_idx, second, second_idx,
+    col_best_row) with dist==pallas_hamming.MASK_D meaning "no match"."""
+    from . import pallas_hamming as ph
+    row_attr = jnp.stack(
+        [uv[:, 0], uv[:, 1], jnp.asarray(radius, jnp.float32),
+         lmin.astype(jnp.float32), lmax.astype(jnp.float32),
+         rvalid.astype(jnp.float32)], axis=1)
+    col_attr = jnp.stack(
+        [kp_xy[:, 0], kp_xy[:, 1], kp_octave.astype(jnp.float32),
+         cvalid.astype(jnp.float32)], axis=1)
+    fn = (ph.masked_top2_mutual
+          if _pallas_eligible(desc_rows.shape[0], desc_cols.shape[0])
+          else ph.masked_top2_mutual_xla)
+    bk, sk, ck = fn(desc_rows, desc_cols, row_attr, col_attr)
+    best = bk // ph.COL_STRIDE
+    bidx = (bk % ph.COL_STRIDE).astype(jnp.int32)
+    second = sk // ph.COL_STRIDE
+    sidx = (sk % ph.COL_STRIDE).astype(jnp.int32)
+    col_row = (ck % ph.ROW_STRIDE).astype(jnp.int32)
+    return best, bidx, second, sidx, col_row
+
+
 @functools.partial(jax.jit, static_argnames=("window", "ratio", "check_rotation"))
 def search_for_initialization(
     xy1, desc1, valid1, octave1, angle1,
@@ -71,32 +107,24 @@ def search_by_projection_local_map(
     pyramid level (src/ORBmatcher.cc:139-147).  Keypoints already bound
     to a map point are excluded (src/ORBmatcher.cc:117-120).
     """
+    from . import pallas_hamming as ph
     r_base = jnp.where(view_cos > 0.998, 2.5, 4.0)
     radius = r_base * th * scale_factors[pred_level]
 
-    dist = core.hamming_matrix(mp_desc, kp_desc)
-    lvl_ok = (kp_octave[None, :] >= pred_level[:, None] - 1) & (
-        kp_octave[None, :] <= pred_level[:, None] + 1)
-    mask = (
-        mp_valid[:, None] & kp_valid[None, :] & (~kp_has_mp)[None, :]
-        & lvl_ok & _chebyshev_window_mask(uv_proj, kp_xy, radius)
-    )
-    d = jnp.where(mask, dist, 1 << 20)
-    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
-    best = jnp.min(d, axis=1)
-    d2 = jnp.where(
-        jnp.arange(d.shape[1])[None, :] == best_idx[:, None], 1 << 20, d)
-    second_idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
-    second = jnp.min(d2, axis=1)
+    best, best_idx, second, second_idx, col_row = _windowed_top2(
+        mp_desc, kp_desc, uv_proj, radius,
+        pred_level - 1, pred_level + 1, mp_valid,
+        kp_xy, kp_octave, kp_valid & ~kp_has_mp)
     same_level = kp_octave[best_idx] == kp_octave[second_idx]
     ratio_ok = jnp.where(
-        same_level & (second < (1 << 20)),
+        same_level & (second < ph.MASK_D),
         best.astype(jnp.float32) <= ratio * second.astype(jnp.float32),
         True,
     )
-    res = MatchResult(best_idx, best, (best <= TH_HIGH) & ratio_ok)
-    valid = core.mutual_best(dist, mask, res)
-    return MatchResult(res.idx, res.dist, valid)
+    rows = jnp.arange(best.shape[0], dtype=jnp.int32)
+    valid = ((best <= TH_HIGH) & ratio_ok
+             & (col_row[best_idx] == rows))
+    return MatchResult(best_idx, best, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "check_rotation"))
@@ -116,18 +144,16 @@ def search_by_projection_last_frame(
     overwrite-on-collision.
     """
     radius = th * scale_factors[last_octave]
-    dist = core.hamming_matrix(mp_desc, kp_desc)
-    lvl_ok = (kp_octave[None, :] >= last_octave[:, None] - 1) & (
-        kp_octave[None, :] <= last_octave[:, None] + 1)
-    mask = (
-        mp_valid[:, None] & kp_valid[None, :]
-        & lvl_ok & _chebyshev_window_mask(uv_proj, kp_xy, radius)
-    )
-    res = core.best_match(dist, mask, max_dist=TH_HIGH)
-    valid = core.mutual_best(dist, mask, res)
+    best, best_idx, second, second_idx, col_row = _windowed_top2(
+        mp_desc, kp_desc, uv_proj, radius,
+        last_octave - 1, last_octave + 1, mp_valid,
+        kp_xy, kp_octave, kp_valid)
+    rows = jnp.arange(best.shape[0], dtype=jnp.int32)
+    valid = (best <= TH_HIGH) & (col_row[best_idx] == rows)
     if check_rotation:
-        valid = core.rotation_consistency_mask(mp_angle, kp_angle[res.idx], valid)
-    return MatchResult(res.idx, res.dist, valid)
+        valid = core.rotation_consistency_mask(mp_angle, kp_angle[best_idx],
+                                               valid)
+    return MatchResult(best_idx, best, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("ratio", "check_rotation", "max_dist"))

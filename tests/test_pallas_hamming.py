@@ -48,3 +48,47 @@ def test_all_columns_invalid():
     best, idx, second = ph.hamming_top2(d1, d2, jnp.zeros(256, bool),
                                         interpret=True)
     assert np.all(np.asarray(best) >= int(ph.BIG))
+
+
+class TestMaskedTop2Mutual:
+    """v2 kernel: windowed/level-masked top-2 + column-best in one pass.
+    The interpret-mode kernel must agree bit-exactly with the XLA twin
+    (which in turn backs the CPU execution path of the projection
+    searches)."""
+
+    def _problem(self, seed, N=256, M=256):
+        rng = np.random.default_rng(seed)
+        d1 = rng.integers(0, 2 ** 32, (N, 8), dtype=np.uint64).astype(np.uint32)
+        d2 = rng.integers(0, 2 ** 32, (M, 8), dtype=np.uint64).astype(np.uint32)
+        # duplicate some descriptors to force distance ties
+        d2[10] = d2[11] = d1[5]
+        d2[40] = d2[41]
+        row_attr = np.stack([
+            rng.uniform(0, 600, N), rng.uniform(0, 400, N),
+            rng.uniform(20, 120, N),
+            rng.integers(0, 3, N).astype(float),
+            rng.integers(2, 5, N).astype(float),
+            (rng.random(N) < 0.9).astype(float)], axis=1).astype(np.float32)
+        col_attr = np.stack([
+            rng.uniform(0, 600, M), rng.uniform(0, 400, M),
+            rng.integers(0, 5, M).astype(float),
+            (rng.random(M) < 0.9).astype(float)], axis=1).astype(np.float32)
+        return (jnp.asarray(d1), jnp.asarray(d2),
+                jnp.asarray(row_attr), jnp.asarray(col_attr))
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_interpret_matches_xla(self, seed):
+        d1, d2, ra, ca = self._problem(seed)
+        bk, sk, ck = ph.masked_top2_mutual(d1, d2, ra, ca, interpret=True)
+        bx, sx, cx = ph.masked_top2_mutual_xla(d1, d2, ra, ca)
+        np.testing.assert_array_equal(np.asarray(bk), np.asarray(bx))
+        np.testing.assert_array_equal(np.asarray(sk), np.asarray(sx))
+        np.testing.assert_array_equal(np.asarray(ck), np.asarray(cx))
+
+    def test_multitile(self):
+        d1, d2, ra, ca = self._problem(7, N=512, M=384)
+        bk, sk, ck = ph.masked_top2_mutual(d1, d2, ra, ca, interpret=True)
+        bx, sx, cx = ph.masked_top2_mutual_xla(d1, d2, ra, ca)
+        np.testing.assert_array_equal(np.asarray(bk), np.asarray(bx))
+        np.testing.assert_array_equal(np.asarray(sk), np.asarray(sx))
+        np.testing.assert_array_equal(np.asarray(ck), np.asarray(cx))
