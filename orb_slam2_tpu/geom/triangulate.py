@@ -75,13 +75,22 @@ def _solve_dlt_rows(A: jnp.ndarray) -> jnp.ndarray:
     """(..., 4, 4) DLT rows -> (..., 3) world point.
 
     min_x ||A [x; 1]||^2 = solve (A3^T A3) x = -A3^T a4 where A3 =
-    A[..., :3], a4 = A[..., 3].  Closed form 3x3 adjugate solve."""
+    A[..., :3], a4 = A[..., 3].  Closed form 3x3 adjugate solve.
+
+    The normal equations square the condition number vs the reference's
+    4x4 SVD (src/Initializer.cc:56-105); one step of f32 iterative
+    refinement (residual re-solve, branch-free, 2 extra tiny matvecs)
+    recovers the lost digits for the low-parallax pairs that still pass
+    the geometric gates.  Truly degenerate systems stay
+    garbage-but-finite and are killed by the depth/reproj gates."""
     A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
     A3 = A[..., :3]
     a4 = A[..., 3]
     H = jnp.einsum("...ri,...rj->...ij", A3, A3)
     b = -jnp.einsum("...ri,...r->...i", A3, a4)
-    return solve3x3(H, b)
+    x = solve3x3(H, b)
+    r = b - jnp.einsum("...ij,...j->...i", H, x)
+    return x + solve3x3(H, r)
 
 
 class TriangulationCheck(NamedTuple):

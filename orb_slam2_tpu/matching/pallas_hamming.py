@@ -186,7 +186,6 @@ ROW_STRIDE = 16384   # colkey = d * ROW_STRIDE + row (requires N <= 16384)
 
 def _masked_kernel(d1_ref, d2_ref, rattr_ref, cattr_ref,
                    bkey_ref, skey_ref, ckey_ref):
-    i = pl.program_id(0)
     j = pl.program_id(1)
 
     d1 = d1_ref[:]
@@ -216,6 +215,7 @@ def _masked_kernel(d1_ref, d2_ref, rattr_ref, cattr_ref,
           & (coct >= lmin) & (coct <= lmax))
     dm = jnp.where(ok, d, MASK_D)
 
+    i = pl.program_id(0)
     cols = jax.lax.broadcasted_iota(jnp.float32, dm.shape, 1) + j * TILE
     rows = jax.lax.broadcasted_iota(jnp.float32, dm.shape, 0) + i * TILE
     key = dm * COL_STRIDE + cols                # f32-exact (< 2^24)
@@ -239,13 +239,12 @@ def _masked_kernel(d1_ref, d2_ref, rattr_ref, cattr_ref,
         skey_ref[0, 0, :] = jnp.minimum(jnp.maximum(b0, lb),
                                         jnp.minimum(s0, ls))
 
-    @pl.when(i == 0)
-    def _():
-        ckey_ref[0, 0, :] = lc
-
-    @pl.when(i != 0)
-    def _():
-        ckey_ref[0, 0, :] = jnp.minimum(ckey_ref[0, 0, :], lc)
+    # Column-best: the (j-indexed) output block is only VMEM-resident
+    # across consecutive revisits, and j is the INNER grid dim — an
+    # i-accumulating read-modify-write would see stale VMEM from a
+    # different column tile at i>0.  Write a per-(i, j) partial instead
+    # (each block written exactly once) and min-reduce over i outside.
+    ckey_ref[0, 0, 0, :] = lc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -275,7 +274,7 @@ def masked_top2_mutual(desc1, desc2, row_attr, col_attr,
                          memory_space=pltpu.VMEM)
     vec_j = pl.BlockSpec((1, 8, TILE), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM)
-    bkey, skey, ckey = pl.pallas_call(
+    bkey, skey, ckey_part = pl.pallas_call(
         _masked_kernel,
         grid=grid,
         in_specs=[
@@ -285,17 +284,21 @@ def masked_top2_mutual(desc1, desc2, row_attr, col_attr,
                          memory_space=pltpu.VMEM),
             vec_i, vec_j,
         ],
-        out_specs=[vec_i, vec_i, vec_j],
+        out_specs=[vec_i, vec_i,
+                   pl.BlockSpec((1, 1, 8, TILE), lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((N // TILE, 8, TILE), jnp.float32),
             jax.ShapeDtypeStruct((N // TILE, 8, TILE), jnp.float32),
-            jax.ShapeDtypeStruct((M // TILE, 8, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((N // TILE, M // TILE, 8, TILE),
+                                 jnp.float32),
         ],
         interpret=interpret,
     )(desc1, desc2, ra, ca)
+    ckey = jnp.min(ckey_part[:, :, 0, :], axis=0).reshape(M)
     return (bkey[:, 0, :].reshape(N).astype(jnp.int32),
             skey[:, 0, :].reshape(N).astype(jnp.int32),
-            ckey[:, 0, :].reshape(M).astype(jnp.int32))
+            ckey.astype(jnp.int32))
 
 
 def masked_top2_mutual_xla(desc1, desc2, row_attr, col_attr):

@@ -38,15 +38,29 @@ def _scatter_rows(pos, desc, normal, min_d, max_d, valid,
 
 
 class DevicePoints:
+    """The six column arrays live in ONE tuple (``_arrs``) that is only
+    ever replaced by a single attribute assignment — atomic under the
+    GIL — so a concurrent reader (the tracking thread's fused dispatch
+    racing the mapper's sync) always sees a mutually consistent
+    generation, never e.g. old positions with a new validity mask."""
+
     def __init__(self, min_capacity: int = 65536):
         self.min_capacity = min_capacity
         self.cap = 0
-        self.pos = None
-        self.desc = None
-        self.normal = None
-        self.min_d = None
-        self.max_d = None
-        self.valid = None
+        self._arrs = None
+
+    # column views (read-only convenience; for a consistent multi-column
+    # read use snapshot())
+    pos = property(lambda self: self._arrs[0])
+    desc = property(lambda self: self._arrs[1])
+    normal = property(lambda self: self._arrs[2])
+    min_d = property(lambda self: self._arrs[3])
+    max_d = property(lambda self: self._arrs[4])
+    valid = property(lambda self: self._arrs[5])
+
+    def snapshot(self):
+        """Atomic (pos, desc, normal, min_d, max_d, valid) tuple."""
+        return self._arrs
 
     def _full_upload(self, store, cap: int):
         n = store.n_points()
@@ -58,19 +72,19 @@ class DevicePoints:
                 return jnp.asarray(np.pad(a, (0, pad)))
             return jnp.asarray(np.pad(a, ((0, pad), (0, 0))))
 
-        self.pos = up(store.mp_pos, 3, np.float32)
-        self.desc = up(store.mp_desc, 8, np.uint32)
-        self.normal = up(store.mp_normal, 3, np.float32)
-        self.min_d = up(store.mp_min_dist, None, np.float32)
-        self.max_d = up(store.mp_max_dist, None, np.float32)
-        self.valid = up(store.mp_valid, None, bool)
+        self._arrs = (up(store.mp_pos, 3, np.float32),
+                      up(store.mp_desc, 8, np.uint32),
+                      up(store.mp_normal, 3, np.float32),
+                      up(store.mp_min_dist, None, np.float32),
+                      up(store.mp_max_dist, None, np.float32),
+                      up(store.mp_valid, None, bool))
         self.cap = cap
 
     def sync(self, store) -> None:
         """Bring the device image up to date.  Call with the map lock
         held (reads the numpy SoA); the device work is async."""
         n = store.n_points()
-        if n > self.cap or self.pos is None:
+        if n > self.cap or self._arrs is None:
             cap = self.min_capacity
             while cap < n:
                 cap *= 4
@@ -91,10 +105,8 @@ class DevicePoints:
             chunk = rows[c0:c0 + CH]
             chunk = np.pad(chunk, (0, CH - len(chunk)), mode="edge")
             ridx = chunk.astype(np.int64)
-            (self.pos, self.desc, self.normal,
-             self.min_d, self.max_d, self.valid) = _scatter_rows(
-                self.pos, self.desc, self.normal, self.min_d,
-                self.max_d, self.valid,
+            self._arrs = _scatter_rows(
+                *self._arrs,
                 jnp.asarray(chunk),
                 jnp.asarray(np.asarray(store.mp_pos[ridx], np.float32)),
                 jnp.asarray(np.asarray(store.mp_desc[ridx], np.uint32)),

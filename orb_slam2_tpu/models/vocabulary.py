@@ -25,6 +25,31 @@ import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.jit, static_argnames=("k", "node_level"))
+def _transform_device(centers, desc, k: int, node_level: int):
+    """Batched vocabulary-tree descent on device.
+
+    centers: tuple of per-level (k**(l+1), 8) uint32 arrays (traced
+    ARGUMENTS, not captured constants — a 1M-node ORBvoc's ~35 MB of
+    centers must not be baked into the executable).
+    desc: (N, 8) uint32.  Returns (word_ids (N,), node_ids (N,)) int32.
+
+    Per level: gather the current node's k child centers ((N, k, 8)
+    gather), XOR + popcount, argmin — L gathers + L argmins for the
+    whole frame (DBoW2 TemplatedVocabulary::transform descends one
+    descriptor at a time)."""
+    node = jnp.zeros(desc.shape[0], jnp.int32)
+    node_at = node
+    for lvl, C in enumerate(centers):
+        cand = C.reshape(-1, k, 8)[node]              # (N, k, 8)
+        x = jnp.bitwise_xor(cand, desc[:, None, :])
+        d = jax.lax.population_count(x).astype(jnp.int32).sum(-1)
+        node = node * k + jnp.argmin(d, axis=1).astype(jnp.int32)
+        if lvl == node_level - 1:
+            node_at = node
+    return node, node_at
+
+
 def _unpack_bits(desc: np.ndarray) -> np.ndarray:
     """(N, 8) uint32 -> (N, 256) uint8 bits."""
     return np.unpackbits(
@@ -136,41 +161,35 @@ class Vocabulary:
         return node
 
     def device_arrays(self):
-        return [jnp.asarray(c) for c in self.centers]
+        """Per-level center arrays resident on device (uploaded once,
+        cached — ~35 MB for a 1M-node ORBvoc)."""
+        dev = self.__dict__.get("_dev_centers")
+        if dev is None:
+            dev = tuple(jnp.asarray(np.asarray(c, np.uint32))
+                        for c in self.centers)
+            self.__dict__["_dev_centers"] = dev
+        return dev
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def transform(self, desc: jnp.ndarray):
-        """Device transform: (N, 8) uint32 -> (word_ids, node_ids)."""
-        from ..matching import core as mcore
-        node = jnp.zeros(desc.shape[0], jnp.int32)
-        node_at = node
-        for lvl in range(self.levels):
-            cand = jnp.asarray(self.centers[lvl]).reshape(-1, self.k, 8)[node]
-            a = mcore.unpack_bits_pm1(desc)          # (N, 256)
-            b = (jnp.asarray(
-                (cand[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
-            ).reshape(desc.shape[0], self.k, 256).astype(jnp.float32) * 2 - 1
-            ).astype(a.dtype)
-            dot = jnp.einsum("nb,nkb->nk", a, b,
-                             preferred_element_type=jnp.float32)
-            d = (256.0 - dot) * 0.5
-            node = node * self.k + jnp.argmin(d, axis=1).astype(jnp.int32)
-            if lvl == self.node_level - 1:
-                node_at = node
-        return node, node_at
+    def transform(self, desc):
+        """Device transform: (N, 8) uint32 -> (word_ids, node_ids),
+        still on device (read with one jax.device_get)."""
+        return _transform_device(self.device_arrays(), desc,
+                                 k=self.k, node_level=self.node_level)
 
     # ------------------------------------------------------------------
-    def bow_vector(self, desc: np.ndarray, valid: np.ndarray) -> dict:
-        """tf-idf BoW vector, L1-normalized (DBoW2 TF_IDF + L1,
-        the ORBvoc configuration)."""
-        words = self.transform_np(desc[valid])
-        vec: dict = {}
-        for w in words:
-            vec[w] = vec.get(w, 0.0) + self.idf[w]
-        s = sum(vec.values())
+    def bow_vector_from_words(self, words: np.ndarray) -> dict:
+        """(n,) word ids -> L1-normalized tf-idf dict (DBoW2 TF_IDF +
+        L1, the ORBvoc configuration)."""
+        uniq, counts = np.unique(np.asarray(words, np.int64),
+                                 return_counts=True)
+        w = counts * self.idf[uniq]
+        s = float(w.sum())
         if s > 0:
-            vec = {w: v / s for w, v in vec.items()}
-        return vec
+            w = w / s
+        return dict(zip(uniq.tolist(), w.tolist()))
+
+    def bow_vector(self, desc: np.ndarray, valid: np.ndarray) -> dict:
+        return self.bow_vector_from_words(self.transform_np(desc[valid]))
 
     @staticmethod
     def score_l1(v1: dict, v2: dict) -> float:

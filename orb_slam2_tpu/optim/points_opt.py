@@ -34,6 +34,9 @@ CHI2_MONO = 5.991
 class PointsOptResult(NamedTuple):
     points: jnp.ndarray      # (P, 3) optimized positions
     obs_inlier: jnp.ndarray  # (O,) bool — obs passes chi2 at solution
+    lam: jnp.ndarray         # (P,) final LM damping — pass back as lam0
+    #                          so chunked execution resumes the LM state
+    #                          instead of resetting it every chunk
 
 
 @partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "iters",
@@ -49,6 +52,7 @@ def optimize_points(
     iters: int = 10,
     use_huber: bool = True,
     obs_cam: jnp.ndarray | None = None,
+    lam0: jnp.ndarray | None = None,
 ) -> PointsOptResult:
     P = points0.shape[0]
     if obs_cam is not None:
@@ -90,11 +94,12 @@ def optimize_points(
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         return points, lam
 
-    lam0 = jnp.full((P,), 1e-3)
-    points, _ = jax.lax.fori_loop(0, iters, body, (points0, lam0))
+    if lam0 is None:
+        lam0 = jnp.full((P,), 1e-3)
+    points, lam = jax.lax.fori_loop(0, iters, body, (points0, lam0))
 
     pts_per_obs = points[obs_pt]
     res = reproj.project_jacobians(obs_Tcw, pts_per_obs, obs_uv, fx, fy, cx, cy)
     c2 = reproj.chi2(res.r, obs_isig2)
     inlier = obs_valid & (c2 <= CHI2_MONO) & (res.depth > 0)
-    return PointsOptResult(points=points, obs_inlier=inlier)
+    return PointsOptResult(points=points, obs_inlier=inlier, lam=lam)

@@ -272,14 +272,14 @@ def gather_ba_problem(store: MapStore, kf_ids: List[int], inv_sigma2):
                                              "iters"))
 def _sba_step_gathered(points0, obs_pt, kf_poses, xy_stack, oct_stack,
                        inv_sigma2_lvl, obs_cam, obs_fi, obs_valid,
-                       fx, fy, cx, cy, iters):
+                       fx, fy, cx, cy, iters, lam0=None):
     """Structure-BA chunk with measurements gathered on device from the
     keyframes' resident feature arrays."""
     obs_uv = xy_stack[obs_cam, obs_fi]
     obs_sig = inv_sigma2_lvl[oct_stack[obs_cam, obs_fi]]
     return points_opt.optimize_points(
         points0, obs_pt, kf_poses, obs_uv, obs_sig, obs_valid,
-        fx, fy, cx, cy, iters=iters, obs_cam=obs_cam)
+        fx, fy, cx, cy, iters=iters, obs_cam=obs_cam, lam0=lam0)
 
 
 def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
@@ -337,13 +337,19 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
         chunk = 3
         done = 0
         res = None
+        # explicit initial damping: one compiled variant (lam0=None
+        # would trace a second specialization for the first chunk)
+        lam_dev = jnp.full((P,), 1e-3, jnp.float32)
         while done < iters:
             it = min(chunk, iters - done)
+            # lam threads between chunks so the chunked solve matches a
+            # single-call LM (a reset would re-try rejected steps)
             res = _sba_step_gathered(
                 pts_dev, obs_pt_dev, poses_dev, xy_stack, oct_stack,
                 isig_dev, obs_cam_dev, obs_fi_dev, obs_valid_dev,
-                fx, fy, cx, cy, it)
+                fx, fy, cx, cy, it, lam0=lam_dev)
             pts_dev = res.points
+            lam_dev = res.lam
             done += it
         new_pts_all, inl_all = jax.device_get((res.points, res.obs_inlier))
     with timer.time("sba/apply"):
@@ -469,6 +475,9 @@ class LocalMapper:
         self.cfg = cfg
         self.store = store
         self.recent_points: List[int] = []
+        self._fuse_touched: List[int] = []  # merge winners awaiting the
+        #                                     batched refresh (see
+        #                                     _fuse_neighbors)
         self.timer = StageTimer()
         self.on_keyframe_processed = None  # wired to loop closing
         scale, _, sigma2, _ = __import__(
@@ -745,6 +754,7 @@ class LocalMapper:
                 cand_arr = cand_arr[~has_kid]
             own = own_arr.tolist()
             cand = cand_arr.tolist()
+        self._fuse_touched = []
         if own and all_targets and cand:
             self._fuse_combined(kid, all_targets, own, cand)
         else:
@@ -752,10 +762,13 @@ class LocalMapper:
                 self._fuse_batch(all_targets, own)
             if cand:
                 self._fuse_into_kf(kid, cand)
-        # refresh (batched: one native medoid call + segment sums)
+        # refresh (batched: one native medoid call + segment sums) —
+        # covers this KF's bindings AND every merge winner, so the
+        # per-replace refresh inside the loop is skipped entirely
         with self.timer.time("fuse/update_points"):
+            ids = store.kfs[kid].frame.mp_ids
             store.update_points_batch(
-                [p for p in store.kfs[kid].frame.mp_ids if p >= 0])
+                np.unique(ids[ids >= 0]).tolist() + self._fuse_touched)
         with self.timer.time("fuse/update_conn"):
             store.update_connections(kid)
 
@@ -773,9 +786,7 @@ class LocalMapper:
         cand_rows = np.pad(np.asarray(cand, np.int32),
                            (0, P2 - len(cand)), constant_values=-1)
         store.dev_points.sync(store)
-        dp = store.dev_points
-        dp_args = (dp.pos, dp.desc, dp.normal, dp.min_d, dp.max_d,
-                   dp.valid)
+        dp_args = store.dev_points.snapshot()
 
         T = len(target_kids)
         CH = 8  # targets per kernel: short kernels let the camera-rate
@@ -856,21 +867,29 @@ class LocalMapper:
         has_kid = ((kidm == kid) & slot_ok).any(1)
         rows = rows[~has_kid]
         feats = np.asarray(ridx[:n], np.int64)[rows]
-        existing = f.mp_ids[feats]
-        for j, feat, ex in zip(rows, feats, existing):
+        for j, feat in zip(rows, feats):
             pid = int(pid_arr[j])
             if kid in store.mp_obs[pid]:
                 continue  # bound earlier in this very loop
+            # re-read the binding per iteration: replace_point earlier in
+            # this loop can rewrite THIS keyframe's mp_ids (the reference
+            # re-reads too, src/ORBmatcher.cc:1150-1216); a snapshot from
+            # before the loop would let two live points claim one slot
+            ex = f.mp_ids[int(feat)]
             if ex >= 0 and store.mp_valid[ex]:
                 if ex == pid:
                     continue
-                # keep the point with more observations
+                # keep the point with more observations; refresh of the
+                # winner is deferred to the caller's batched update
                 if len(store.mp_obs[ex]) > len(store.mp_obs[pid]):
-                    store.replace_point(pid, int(ex))
+                    store.replace_point(pid, int(ex), refresh=False)
+                    self._fuse_touched.append(int(ex))
                 else:
-                    store.replace_point(int(ex), pid)
+                    store.replace_point(int(ex), pid, refresh=False)
+                    self._fuse_touched.append(pid)
             else:
                 store.add_observation(pid, kid, int(feat))
+                self._fuse_touched.append(pid)
 
     def _fuse_batch(self, target_kids: List[int], pids: List[int]):
         """Forward fuse of one point set into many keyframes: a single
@@ -962,14 +981,18 @@ class LocalMapper:
             if existing >= 0 and store.mp_valid[existing]:
                 if existing == pid:
                     continue
-                # keep the point with more observations
+                # keep the point with more observations (refresh deferred
+                # to _fuse_neighbors' batched update)
                 if len(store.mp_obs[existing]) > len(store.mp_obs[pid]):
-                    store.replace_point(pid, existing)
+                    store.replace_point(pid, existing, refresh=False)
+                    self._fuse_touched.append(existing)
                 else:
-                    store.replace_point(existing, pid)
+                    store.replace_point(existing, pid, refresh=False)
+                    self._fuse_touched.append(pid)
             else:
                 if store.mp_valid[pid] and kid not in store.mp_obs[pid]:
                     store.add_observation(pid, kid, feat)
+                    self._fuse_touched.append(pid)
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kid: int):
@@ -1003,10 +1026,9 @@ class LocalMapper:
                 continue
             obs_k = kidm[obs_l, cols]
             obs_f = fim[obs_l, cols]
-            octs = np.empty(len(obs_k), np.int32)
-            for k in np.unique(obs_k):
-                m = obs_k == k
-                octs[m] = store.kfs[k].frame.octave[obs_f[m]]
+            # one 2-D fancy gather over the store-wide octave table
+            # (was a per-unique-KF loop — 108 ms/KF in the r2 bench)
+            octs = store.octave_table()[obs_k, obs_f].astype(np.int32)
             fine = octs <= levels[obs_l] + 1
             cnt = np.bincount(obs_l[fine], minlength=n_pts)
             n_redundant = int((cnt >= 3).sum())

@@ -179,17 +179,28 @@ class LoopCloser:
             n2 = pad_bucket(len(idx_cand))
             v1 = np.zeros(n1, bool); v1[:len(idx_cur)] = True
             v2 = np.zeros(n2, bool); v2[:len(idx_cand)] = True
+            # node blocking (FeatureVector walk, src/ORBmatcher.cc:698-851)
+            na = self.pr.compute_nodes(fcur) if self.pr is not None else None
+            nb = self.pr.compute_nodes(fc) if na is not None else None
+            node1 = (jnp.asarray(np.pad(na[idx_cur],
+                                        (0, n1 - len(idx_cur)),
+                                        constant_values=-1))
+                     if nb is not None else None)
+            node2 = (jnp.asarray(np.pad(nb[idx_cand],
+                                        (0, n2 - len(idx_cand)),
+                                        constant_values=-1))
+                     if nb is not None else None)
             res = search.search_descriptors(
                 jnp.asarray(np.pad(fcur.desc[idx_cur],
                                    ((0, n1 - len(idx_cur)), (0, 0)))),
                 jnp.asarray(v1),
                 jnp.asarray(np.pad(fcur.angle[idx_cur],
-                                   (0, n1 - len(idx_cur)))), None,
+                                   (0, n1 - len(idx_cur)))), node1,
                 jnp.asarray(np.pad(fc.desc[idx_cand],
                                    ((0, n2 - len(idx_cand)), (0, 0)))),
                 jnp.asarray(v2),
                 jnp.asarray(np.pad(fc.angle[idx_cand],
-                                   (0, n2 - len(idx_cand)))), None,
+                                   (0, n2 - len(idx_cand)))), node2,
                 ratio=0.75)
             res = res.host()
             mvalid = res.valid[:len(idx_cur)]

@@ -56,7 +56,7 @@ class Relocalizer:
     def _candidates(self, frame: Frame) -> List[int]:
         store = self.store
         out: List[int] = []
-        bow = self.pr.frame_bow(frame.desc, frame.valid)
+        bow = self.pr.frame_bow_f(frame)
         if bow is not None:
             out.extend(self.pr.reloc_candidates(bow))
         # recent keyframes by source-frame id (Map::GetLastKeyFrames)
@@ -80,12 +80,19 @@ class Relocalizer:
         pad = n - len(ids)
         v = np.zeros(n, bool)
         v[:len(ids)] = True
+        # FeatureVector-style node blocking (src/ORBmatcher.cc:222-392)
+        # when both sides have vocabulary node ids
+        nk = self.pr.compute_nodes(fk)
+        nf = self.pr.compute_nodes(frame) if nk is not None else None
+        node1 = (jnp.asarray(np.pad(nk[ids], (0, pad), constant_values=-1))
+                 if nf is not None else None)
+        node2 = jnp.asarray(nf) if nf is not None else None
         res = search.search_descriptors(
             jnp.asarray(np.pad(fk.desc[ids], ((0, pad), (0, 0)))),
             jnp.asarray(v),
-            jnp.asarray(np.pad(fk.angle[ids], (0, pad))), None,
+            jnp.asarray(np.pad(fk.angle[ids], (0, pad))), node1,
             frame.dev("desc"), frame.dev("valid"),
-            frame.dev("angle"), None,
+            frame.dev("angle"), node2,
             ratio=0.75)
         res = res.host()
         rvalid = res.valid[:len(ids)]

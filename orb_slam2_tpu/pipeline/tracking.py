@@ -835,10 +835,12 @@ class Tracker:
         th_local = 3.0 if (frame.frame_id - self.last_reloc_frame_id
                            < self.cfg.max_frames_between_kf) else 1.0
         with self.timer.time("fused/dispatch"):
-            dp = self.store.dev_points
+            # atomic generation snapshot: the mapper's sync() may swap
+            # the device arrays concurrently (async_mapping mode)
+            dp_arrs = self.store.dev_points.snapshot()
             out = _track_prior_step(
                 jnp.asarray(frame.Tcw),
-                dp.pos, dp.desc, dp.normal, dp.min_d, dp.max_d, dp.valid,
+                *dp_arrs,
                 p["bound_pid_rows"], p["last_rows"], p["cand_rows"],
                 last.dev("octave"), last.dev("desc"), last.dev("angle"),
                 p["cand_bound_row"],
@@ -968,12 +970,21 @@ class Tracker:
         pad = n_rows - len(ids)
         valid_rows = np.zeros(n_rows, bool)
         valid_rows[:len(ids)] = True
+        # FeatureVector-style node blocking when a vocabulary exists
+        # (src/ORBmatcher.cc:222-392); the relocalizer carries the
+        # shared PlaceRecognition
+        pr = getattr(self.relocalize, "pr", None)
+        nk = pr.compute_nodes(kf) if pr is not None else None
+        nf = pr.compute_nodes(frame) if nk is not None else None
+        node1 = (jnp.asarray(np.pad(nk[ids], (0, pad), constant_values=-1))
+                 if nf is not None else None)
+        node2 = jnp.asarray(nf) if nf is not None else None
         res = search.search_descriptors(
             jnp.asarray(np.pad(kf.desc[ids], ((0, pad), (0, 0)))),
             jnp.asarray(valid_rows),
-            jnp.asarray(np.pad(kf.angle[ids], (0, pad))), None,
+            jnp.asarray(np.pad(kf.angle[ids], (0, pad))), node1,
             frame.dev("desc"), frame.dev("valid"),
-            frame.dev("angle"), None,
+            frame.dev("angle"), node2,
             ratio=0.7)
         res = res.host()
         rvalid = res.valid[:len(ids)]
