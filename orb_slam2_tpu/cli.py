@@ -41,6 +41,30 @@ def _load_image(path: str) -> np.ndarray:
     return img.astype(np.float32)
 
 
+def _maybe_viewer(args, system):
+    """--viz [PORT]: start the live HTTP viewer (utils/viewer) attached
+    to this run; --viz-dir DIR additionally refreshes PNGs on disk."""
+    port = getattr(args, "viz", None)
+    viz_dir = getattr(args, "viz_dir", "") or None
+    if port is None and viz_dir is None:
+        return None
+    from .utils.viewer import LiveViewer
+    v = LiveViewer(system.store, port=port, out_dir=viz_dir)
+    v.attach(system)
+    if v.port is not None:
+        print(f"live viewer: http://127.0.0.1:{v.port}/", file=sys.stderr)
+    return v
+
+
+def _add_viz_args(p):
+    p.add_argument("--viz", nargs="?", const=0, default=None, type=int,
+                   metavar="PORT",
+                   help="serve a live frame+map view over HTTP "
+                        "(default: pick a free port)")
+    p.add_argument("--viz-dir", default="",
+                   help="also refresh frame.png/map.png in this directory")
+
+
 def _load_vocabulary(path: str):
     if not path or not os.path.exists(path):
         return None
@@ -70,6 +94,7 @@ def cmd_run(args) -> int:
     vocab = _load_vocabulary(launch.vocabulary_path)
     system = System(cfg, enable_loop_closing=not args.no_loop, vocab=vocab)
     system.set_real_transform(revert)
+    viewer = _maybe_viewer(args, system)
 
     out_dir = args.out
     os.makedirs(out_dir, exist_ok=True)
@@ -88,6 +113,8 @@ def cmd_run(args) -> int:
               f"kfs={system.store.n_valid_keyframes()} "
               f"mps={system.store.n_valid_points()}", file=sys.stderr)
     system.save_map_ply(os.path.join(out_dir, "map.ply"))
+    if viewer is not None:
+        viewer.close()
     print(json.dumps({"frames": len(images), "tracked_ok": n_ok,
                       "fps": len(images) / max(t_total, 1e-9)}))
     return 0
@@ -126,6 +153,7 @@ def cmd_tum(args) -> int:
                          fps=30.0, pose_prior=False)
     vocab = _load_vocabulary(args.vocab) if args.vocab else None
     system = System(cfg, enable_loop_closing=not args.no_loop, vocab=vocab)
+    viewer = _maybe_viewer(args, system)
 
     limit = args.limit or len(files)
     for i, (t, fp) in enumerate(zip(ts_list[:limit], files[:limit])):
@@ -135,6 +163,8 @@ def cmd_tum(args) -> int:
                 if st == TrackState.OK]
     ts_ok = [t for _, t, _, st in system.trajectory if st == TrackState.OK]
     save_tum_trajectory(args.traj_out, ts_ok, Tcw_list)
+    if viewer is not None:
+        viewer.close()
     print(json.dumps({"frames": limit, "tracked_ok": len(Tcw_list)}))
     return 0
 
@@ -163,6 +193,7 @@ def cmd_kitti(args) -> int:
                          fps=10.0, pose_prior=False)
     vocab = _load_vocabulary(args.vocab) if args.vocab else None
     system = System(cfg, enable_loop_closing=not args.no_loop, vocab=vocab)
+    viewer = _maybe_viewer(args, system)
 
     limit = args.limit or len(files)
     for i, fp in enumerate(files[:limit]):
@@ -173,6 +204,8 @@ def cmd_kitti(args) -> int:
     Tcw_list = [T for _, _, T, st in system.trajectory
                 if st == TrackState.OK]
     save_kitti_trajectory(args.traj_out, Tcw_list)
+    if viewer is not None:
+        viewer.close()
     print(json.dumps({"frames": limit, "tracked_ok": len(Tcw_list),
                       "loops_closed": getattr(system.loop_closer,
                                               "n_loops_closed", 0)}))
@@ -213,6 +246,7 @@ def cmd_euroc(args) -> int:
                          fps=20.0, pose_prior=False)
     vocab = _load_vocabulary(args.vocab) if args.vocab else None
     system = System(cfg, enable_loop_closing=not args.no_loop, vocab=vocab)
+    viewer = _maybe_viewer(args, system)
 
     limit = args.limit or len(files)
     for i, (t, fp) in enumerate(zip(ts_list[:limit], files[:limit])):
@@ -222,6 +256,8 @@ def cmd_euroc(args) -> int:
                 if st == TrackState.OK]
     ts_ok = [t for _, t, _, st in system.trajectory if st == TrackState.OK]
     save_tum_trajectory(args.traj_out, ts_ok, Tcw_list)
+    if viewer is not None:
+        viewer.close()
     print(json.dumps({"frames": limit, "tracked_ok": len(Tcw_list)}))
     return 0
 
@@ -234,6 +270,7 @@ def main(argv=None) -> int:
     r.add_argument("launch", help="launch.toml path")
     r.add_argument("--out", default="Out", help="output directory")
     r.add_argument("--no-loop", action="store_true")
+    _add_viz_args(r)
     r.set_defaults(fn=cmd_run)
 
     t = sub.add_parser("tum", help="TUM monocular (estimated pose)")
@@ -243,6 +280,7 @@ def main(argv=None) -> int:
     t.add_argument("--traj-out", default="trajectory_tum.txt")
     t.add_argument("--limit", type=int, default=0)
     t.add_argument("--no-loop", action="store_true")
+    _add_viz_args(t)
     t.set_defaults(fn=cmd_tum)
 
     kd = sub.add_parser("kitti", help="KITTI odometry monocular")
@@ -252,6 +290,7 @@ def main(argv=None) -> int:
     kd.add_argument("--traj-out", default="trajectory_kitti.txt")
     kd.add_argument("--limit", type=int, default=0)
     kd.add_argument("--no-loop", action="store_true")
+    _add_viz_args(kd)
     kd.set_defaults(fn=cmd_kitti)
 
     e = sub.add_parser("euroc", help="EuRoC MAV monocular (ASL format)")
@@ -261,6 +300,7 @@ def main(argv=None) -> int:
     e.add_argument("--traj-out", default="trajectory_euroc.txt")
     e.add_argument("--limit", type=int, default=0)
     e.add_argument("--no-loop", action="store_true")
+    _add_viz_args(e)
     e.set_defaults(fn=cmd_euroc)
 
     args = ap.parse_args(argv)

@@ -507,8 +507,9 @@ class MapStore:
             width = max([self._oct_tab.shape[1]] +
                         [self.kfs[i].frame.n
                          for i in range(self._oct_rows, k)])
-            rows = max(2 * len(self._oct_tab), k, 64)
-            if rows > len(self._oct_tab) or width > self._oct_tab.shape[1]:
+            if k > len(self._oct_tab) or width > self._oct_tab.shape[1]:
+                rows = max(2 * len(self._oct_tab), k, 64) \
+                    if k > len(self._oct_tab) else len(self._oct_tab)
                 tab = np.zeros((rows, width), np.int16)
                 tab[:self._oct_rows, :self._oct_tab.shape[1]] = \
                     self._oct_tab[:self._oct_rows]
@@ -527,8 +528,9 @@ class MapStore:
             width = max([self._desc_tab.shape[1]] +
                         [self.kfs[i].frame.n
                          for i in range(self._desc_rows, k)])
-            rows = max(2 * len(self._desc_tab), k, 64)
-            if rows > len(self._desc_tab) or width > self._desc_tab.shape[1]:
+            if k > len(self._desc_tab) or width > self._desc_tab.shape[1]:
+                rows = max(2 * len(self._desc_tab), k, 64) \
+                    if k > len(self._desc_tab) else len(self._desc_tab)
                 tab = np.zeros((rows, width, 8), np.uint32)
                 tab[:self._desc_rows, :self._desc_tab.shape[1]] = \
                     self._desc_tab[:self._desc_rows]

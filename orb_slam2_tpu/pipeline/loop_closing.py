@@ -449,6 +449,10 @@ class LoopCloser:
         self.run_global_ba(loop_kf_id=kid)
         self.last_loop = dict(kid=kid, loop_kf=loop_kf,
                               n_matched=len(matched),
+                              # solved Sim3 scale of the loop transform
+                              # (monocular drift => generally != 1)
+                              scale=float(np.asarray(
+                                  sim3_mod.scale(jnp.asarray(Scw)))),
                               loop_connections={k: set(v) for k, v in
                                                 loop_connections.items()})
 
@@ -674,11 +678,16 @@ class LoopCloser:
                               (Kp - len(kids), 4, 4))
         import jax as _jax
         if len(_jax.devices()) > 1:
-            from ..parallel import distributed_bundle_adjust, make_mesh
-            res = distributed_bundle_adjust(
+            # memory-scaling variant: POINT state (and Hpp / gp /
+            # deltas) sharded across the mesh with observations
+            # colocated — the map can outgrow one chip's HBM
+            # (parallel/dist_ba.py:160; BASELINE config 4)
+            from ..parallel.dist_ba import (
+                distributed_bundle_adjust_sharded_points, make_mesh)
+            res = distributed_bundle_adjust_sharded_points(
                 make_mesh(),
                 np.concatenate([poses, eye]),
-                np.pad(points0, ((0, P - len(pids)), (0, 0))),
+                points0,
                 obs_kf, obs_pt, obs_uv, obs_sig,
                 np.ones(len(obs_kf), bool),
                 np.pad(fixed, (0, Kp - len(kids)), constant_values=True),
@@ -700,6 +709,6 @@ class LoopCloser:
         for i, k in enumerate(kids):
             if not fixed[i]:
                 store.set_kf_pose(k, new_poses[i])
-        for j, p in enumerate(pids):
-            store.mp_pos[p] = new_pts[j]
+        store.mp_pos[np.asarray(pids, np.int64)] = \
+            np.asarray(new_pts[:len(pids)], np.float32)
         store.update_points_batch(pids)

@@ -147,6 +147,12 @@ class System:
         self.trajectory.append(
             (frame.frame_id, frame.timestamp, frame.Tcw.copy(),
              self.tracker.state))
+        # live observability hook (utils/viewer.LiveViewer.attach) — the
+        # reference's Viewer thread reads equivalent per-frame state
+        # (FrameDrawer::Update, src/FrameDrawer.cc:51-90)
+        cb = getattr(self, "on_frame_tracked", None)
+        if cb is not None:
+            cb(self._last_image, frame)
 
     # ------------------------------------------------------------------
     def reset(self):

