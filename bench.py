@@ -61,11 +61,19 @@ def main():
         pipelined_tracking=True,
     )
 
-    world = synth.make_world(seed=7, tex_size=4096, scale=120.0)
+    # long-strip world: the 116-frame sweep spans x in [0, 57.5] with a
+    # +-12-unit footprint (height 12, fx=cx=960 -> 90deg half-fov=45deg
+    # ... tan=1); a square 4096px/120 texture spans only +-17 units and
+    # the camera flies off it at frame ~59 (image degrades to replicated
+    # border -> tracking starves).  Strip covers x in [-13, 72], y +-12.8.
+    world = synth.make_world(seed=7, tex_size=4096, scale=120.0,
+                             tex_shape=(3072, 10240),
+                             origin_px=(1560.0, 1536.0))
     # warm-up must cover every padded-shape bucket the measured window
     # will hit (the axon remote-compile relay has no persistent cache,
     # so any bucket first seen during measurement costs a full compile)
-    n_warm, n_meas = 16, 100
+    n_warm = int(os.environ.get("BENCH_WARM", "16"))
+    n_meas = int(os.environ.get("BENCH_MEAS", "100"))
     poses = synth.aerial_trajectory(n_warm + n_meas, height=12.0, speed=0.5)
     # 8-bit frames, like the reference's camera input (cv::Mat CV_8U)
     frames_np = [np.clip(synth.render(world, cam, T), 0, 255)
@@ -127,7 +135,11 @@ def main():
         nxt = frames[i + 1] if i + 1 < n_warm + n_meas else None
         f = sys_.track_monocular_with_pose(frames[i], i * 0.1, poses[i],
                                            next_image=nxt)
-        log(f"frame {i}: {time.perf_counter() - t1 :.2f}s")
+        log(f"frame {i}: {time.perf_counter() - t1 :.2f}s "
+            f"state={sys_.state.name} "
+            f"inl={sys_.tracker.matches_inliers} "
+            f"pts={sys_.tracker.store.n_valid_points()} "
+            f"kfs={sys_.tracker.store.n_valid_keyframes()}")
         if sys_.state == TrackState.OK:
             n_ok += 1
     # the camera-rate clock stops when the last frame's TRACKING result

@@ -81,6 +81,31 @@ class Frame:
             self._dev[name] = arr
         return arr
 
+    def compact(self, sel: np.ndarray):
+        """Shrink the feature set to rows ``sel`` (device gather + host
+        reindex).  Init frames carry a 2x feature budget
+        (src/Tracking.cc:182-189); once the initial map exists they are
+        compacted to the standard capacity so every downstream stacked
+        kernel sees ONE static row count — a mid-run 8000->4000 shape
+        flip costs a full XLA recompile through the remote-compile
+        relay (~7 s each on the axon tunnel)."""
+        sel = np.asarray(sel, np.int64)
+        dev_sel = None
+        new_dev = {}
+        for f in _FEATURE_FIELDS:
+            arr = self._dev.get(f)
+            if arr is not None:
+                if dev_sel is None:
+                    dev_sel = jnp.asarray(sel.astype(np.int32))
+                new_dev[f] = jnp.take(arr, dev_sel, axis=0)
+        self._dev = new_dev  # drops stale (name, n) padded caches
+        for f in _FEATURE_FIELDS:
+            if f in self.__dict__:
+                self.__dict__[f] = self.__dict__[f][sel]
+        self.mp_ids = self.mp_ids[sel]
+        self.mp_outlier = self.mp_outlier[sel]
+        self._n = int(len(sel))
+
     def dev_padded(self, name: str, n: int):
         """Device copy zero-padded to ``n`` rows (cached).  Lets frames
         with different feature counts stack into one batch ON DEVICE —

@@ -615,7 +615,12 @@ class MapStore:
         for i, pid in enumerate(kf.frame.mp_ids):
             if pid >= 0 and self.mp_valid[pid]:
                 obs = self.mp_obs[pid]
-                obs.pop(kid, None)
+                if obs.pop(kid, None) is not None:
+                    # keep the numpy obs mirror in sync — a stale slot
+                    # makes every mirror consumer (covisibility, KF-cull
+                    # redundancy, BA fixed-observer collection) see the
+                    # erased keyframe as a live observer
+                    self.obs.erase(pid, kid)
                 if len(obs) <= 2:
                     self.erase_point(pid)
                 else:

@@ -1003,12 +1003,26 @@ class LocalMapper:
     def _cull_keyframes(self, kid: int):
         """KeyFrameCulling (src/LocalMapping.cc:688-772): erase local
         covisible KFs where >= 90% of points are seen >= 3 times at the
-        same or finer scale elsewhere."""
+        same or finer scale elsewhere.
+
+        Point-major screen: covisible candidates share most of their
+        points, so each point's per-octave observation histogram is
+        computed ONCE (one obs-mirror gather over the union) and every
+        candidate is scored against cumulative counts — ~#candidates x
+        less array work than the old per-candidate loop.  Candidates
+        that pass the screen are re-verified sequentially against live
+        state before erasure (an erase removes observations, so the
+        reference's in-order loop can keep a later candidate the batch
+        screen would cull)."""
         store = self.store
-        for cand in store.get_best_covisibles(kid, 10 ** 9):
-            store.yield_lock()  # camera-rate thread gets a slot
-            if cand == 0 or not store.kfs[cand].valid:
-                continue
+        cands = [c for c in store.get_best_covisibles(kid, 10 ** 9)
+                 if c != 0 and store.kfs[c].valid]
+        if not cands:
+            return
+        # gather each candidate's live bound features
+        per_cand = []          # (cand, fi, pids, levels)
+        all_pids = []
+        for cand in cands:
             f = store.kfs[cand].frame
             fi = np.where(f.mp_ids >= 0)[0]
             if len(fi) == 0:
@@ -1016,29 +1030,67 @@ class LocalMapper:
             pids = f.mp_ids[fi].astype(np.int64)
             live = np.asarray(store.mp_valid[pids], bool)
             fi, pids = fi[live], pids[live]
-            n_pts = len(fi)
-            if n_pts == 0:
+            if len(fi) == 0:
                 continue
-            levels = f.octave[fi]
-            # flatten all other observations from the numpy obs mirror,
-            # then vectorize the octave comparison (grouped gathers per
-            # observing KF) — zero per-observation Python
-            kidm, fim, nm = store.obs.rows(pids)
-            slot_ok = (np.arange(kidm.shape[1])[None, :] < nm[:, None]) \
-                & (kidm != cand)
-            obs_l, cols = np.nonzero(slot_ok)
-            if len(obs_l) == 0:
-                continue
-            obs_k = kidm[obs_l, cols]
-            obs_f = fim[obs_l, cols]
-            # one 2-D fancy gather over the store-wide octave table
-            # (was a per-unique-KF loop — 108 ms/KF in the r2 bench)
-            octs = store.octave_table()[obs_k, obs_f].astype(np.int32)
-            fine = octs <= levels[obs_l] + 1
-            cnt = np.bincount(obs_l[fine], minlength=n_pts)
-            n_redundant = int((cnt >= 3).sum())
-            if n_redundant > self.cfg.kf_cull_redundancy * n_pts:
+            per_cand.append((cand, fi, pids, f.octave[fi].astype(np.int64)))
+            all_pids.append(pids)
+        if not per_cand:
+            return
+        store.yield_lock()  # camera-rate thread gets a slot
+        upids = np.unique(np.concatenate(all_pids))
+        L = int(self.cfg.orb.n_levels)
+        kidm, fim, nm = store.obs.rows(upids)
+        slot_ok = np.arange(kidm.shape[1])[None, :] < nm[:, None]
+        obs_p, cols = np.nonzero(slot_ok)
+        octs = store.octave_table()[kidm[obs_p, cols],
+                                    fim[obs_p, cols]].astype(np.int64)
+        np.clip(octs, 0, L - 1, out=octs)
+        hist = np.bincount(obs_p * L + octs,
+                           minlength=len(upids) * L).reshape(len(upids), L)
+        cum = np.cumsum(hist, axis=1)          # obs with octave <= t
+        flagged = []
+        for cand, fi, pids, levels in per_cand:
+            rows = np.searchsorted(upids, pids)
+            thr = np.minimum(levels + 1, L - 1)
+            # subtract the candidate's own observation (octave == level
+            # <= level+1, so it always counts itself once)
+            n_redundant = int((cum[rows, thr] - 1 >= 3).sum())
+            if n_redundant > self.cfg.kf_cull_redundancy * len(fi):
+                flagged.append(cand)
+        for cand in flagged:
+            store.yield_lock()
+            if self._cull_verify(cand):
                 store.erase_keyframe(cand)
+
+    def _cull_verify(self, cand: int) -> bool:
+        """Exact redundancy check for one screened candidate against
+        LIVE state (erasing an earlier candidate removes observations,
+        which can rescue this one — matches the reference's sequential
+        loop, src/LocalMapping.cc:688-772)."""
+        store = self.store
+        if not store.kfs[cand].valid:
+            return False
+        f = store.kfs[cand].frame
+        fi = np.where(f.mp_ids >= 0)[0]
+        if len(fi) == 0:
+            return False
+        pids = f.mp_ids[fi].astype(np.int64)
+        live = np.asarray(store.mp_valid[pids], bool)
+        fi, pids = fi[live], pids[live]
+        if len(fi) == 0:
+            return False
+        levels = f.octave[fi]
+        kidm, fim, nm = store.obs.rows(pids)
+        slot_ok = (np.arange(kidm.shape[1])[None, :] < nm[:, None]) \
+            & (kidm != cand)
+        obs_l, cols = np.nonzero(slot_ok)
+        if len(obs_l) == 0:
+            return False
+        octs = store.octave_table()[kidm[obs_l, cols],
+                                    fim[obs_l, cols]].astype(np.int32)
+        fine = octs <= levels[obs_l] + 1
+        cnt = np.bincount(obs_l[fine], minlength=len(fi))
+        return int((cnt >= 3).sum()) > self.cfg.kf_cull_redundancy * len(fi)
 
 
 class AsyncMapper:

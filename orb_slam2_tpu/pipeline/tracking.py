@@ -559,10 +559,38 @@ class Tracker:
         self._create_initial_map(f1, f2, rows[good], cols[good], X[good],
                                  estimated=True)
 
+    def _compact_init_frame(self, frame: Frame, keep) -> np.ndarray:
+        """Compact a 2x-budget init frame to the standard feature
+        capacity, keeping the matched rows ``keep`` plus the
+        highest-response remaining valid features.  Returns ``keep``
+        remapped to the compacted row space.  Keeps every downstream
+        stacked-kernel row count at ONE static shape for the whole run
+        (see Frame.compact)."""
+        keep = np.asarray(keep, np.int64)
+        cap = self.factory.params.n_features
+        if frame.n <= cap:
+            return keep
+        ukeep = np.unique(keep)
+        if len(ukeep) >= cap:
+            return keep
+        in_keep = np.zeros(frame.n, bool)
+        in_keep[ukeep] = True
+        resp = np.where(np.asarray(frame.valid, bool),
+                        np.asarray(frame.response, np.float32), -np.inf)
+        rest = np.where(~in_keep)[0]
+        rest = rest[np.argsort(-resp[rest], kind="stable")]
+        sel = np.concatenate([ukeep, rest[:cap - len(ukeep)]])
+        frame.compact(sel)
+        remap = -np.ones(int(sel.max()) + 1, np.int64)
+        remap[sel] = np.arange(len(sel))
+        return remap[keep]
+
     def _create_initial_map(self, f1: Frame, f2: Frame, rows, cols, X,
                             estimated: bool = False):
         """CreateInitialMap (src/Tracking.cc:467-573; upstream
         CreateInitialMapMonocular when ``estimated``)."""
+        rows = self._compact_init_frame(f1, rows)
+        cols = self._compact_init_frame(f2, cols)
         store = self.store
         k1 = store.add_keyframe(f1)
         k2 = store.add_keyframe(f2)

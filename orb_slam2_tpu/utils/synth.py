@@ -32,18 +32,36 @@ class PlanarWorld:
         ], np.float32)
 
 
-def make_world(seed: int = 0, tex_size: int = 3072, scale: float = 60.0) -> PlanarWorld:
-    """Random smooth texture with structure at several octaves."""
+def make_world(seed: int = 0, tex_size: int = 3072, scale: float = 60.0,
+               tex_shape: tuple | None = None,
+               origin_px: tuple | None = None) -> PlanarWorld:
+    """Random smooth texture with structure at several octaves.
+
+    ``tex_shape``: optional (height, width) for a non-square world —
+    e.g. a long strip under a straight aerial sweep (the world must
+    cover the whole camera footprint for every frame; past its edge the
+    renderer replicates border pixels and the image goes featureless).
+    Cell density (texture detail per pixel) is anchored to ``tex_size``
+    as the reference length, so a strip has the same local feature
+    richness as a ``tex_size``-square world.
+    ``origin_px``: texture pixel of world (0, 0); defaults to center.
+    """
     import cv2
     rng = np.random.default_rng(seed)
-    tex = np.zeros((tex_size, tex_size), np.float32)
+    th, tw = tex_shape if tex_shape is not None else (tex_size, tex_size)
+    tex = np.zeros((th, tw), np.float32)
     for cells, amp in [(24, 90.0), (96, 60.0), (384, 35.0)]:
-        layer = rng.uniform(0, 1, (cells, cells)).astype(np.float32)
-        layer = cv2.resize(layer, (tex_size, tex_size), interpolation=cv2.INTER_CUBIC)
+        ch = max(2, int(round(cells * th / tex_size)))
+        cw = max(2, int(round(cells * tw / tex_size)))
+        layer = rng.uniform(0, 1, (ch, cw)).astype(np.float32)
+        layer = cv2.resize(layer, (tw, th), interpolation=cv2.INTER_CUBIC)
         tex += amp * layer
     tex = 255.0 * (tex - tex.min()) / (tex.max() - tex.min())
-    return PlanarWorld(texture=tex, scale=scale,
-                       origin=np.array([tex_size / 2, tex_size / 2], np.float32))
+    if origin_px is None:
+        origin = np.array([tw / 2, th / 2], np.float32)
+    else:
+        origin = np.asarray(origin_px, np.float32)
+    return PlanarWorld(texture=tex, scale=scale, origin=origin)
 
 
 def render(world: PlanarWorld, cam: camera_mod.Intrinsics, Tcw: np.ndarray) -> np.ndarray:
