@@ -73,6 +73,23 @@ class _GrowArray:
         self._buf[self._n] = value
         self._n += 1
 
+    def extend(self, values):
+        """Vectorized multi-append (one capacity check + one slice
+        write for k rows — the per-point append loop measured
+        200 ms/keyframe in the triangulation apply section)."""
+        values = np.asarray(values, self._buf.dtype)
+        k = len(values)
+        need = self._n + k
+        if need > len(self._buf):
+            cap = max(64, 2 * len(self._buf))
+            while cap < need:
+                cap *= 2
+            extra = np.full((cap - len(self._buf),) + self._buf.shape[1:],
+                            self._fill, self._buf.dtype)
+            self._buf = np.concatenate([self._buf, extra])
+        self._buf[self._n:need] = values
+        self._n = need
+
     @property
     def data(self) -> np.ndarray:
         return self._buf[:self._n]
@@ -119,14 +136,18 @@ class _ObsMirror:
         self._rows = 0
 
     def add_row(self):
-        if self._rows == len(self.kid):
-            grow = max(64, len(self.kid))
+        self.add_rows(1)
+
+    def add_rows(self, k: int):
+        need = self._rows + k
+        if need > len(self.kid):
+            grow = max(64, len(self.kid), need - len(self.kid))
             self.kid = np.concatenate(
                 [self.kid, np.full((grow, self.kid.shape[1]), -1, np.int32)])
             self.fi = np.concatenate(
                 [self.fi, np.zeros((grow, self.fi.shape[1]), np.int32)])
             self.n = np.concatenate([self.n, np.zeros(grow, np.int32)])
-        self._rows += 1
+        self._rows = need
 
     def add(self, pid: int, kid: int, fi: int):
         row_k = self.kid[pid]
@@ -282,6 +303,56 @@ class MapStore:
         self.mp_first_frame.append(first_frame)
         self.dirty_points.add(pid)
         return pid
+
+    def add_points_batch(self, pos, desc, kf1: int, fi1, kf2, fi2,
+                         first_frame: int, normal=None,
+                         min_dist=0.1, max_dist=100.0,
+                         first_kf=None) -> np.ndarray:
+        """Append ``len(pos)`` points, each observed by exactly two
+        keyframes — (kf1, fi1[i]) and (kf2[i], fi2[i]); ``kf2`` may be
+        scalar or per-point.  One capacity check + slice write per SoA
+        column and direct slot writes into the obs mirror (the rows are
+        brand new, so no per-point membership scans).  Equivalent to
+        add_point + 2x add_observation per point; used by the
+        triangulation and initial-map hot paths
+        (MapPoint::AddObservation, src/MapPoint.cc:96-105)."""
+        n = len(pos)
+        if n == 0:
+            return np.zeros(0, np.int64)
+        pid0 = len(self.mp_pos)
+        pids = np.arange(pid0, pid0 + n, dtype=np.int64)
+        fi1 = np.asarray(fi1, np.int32)
+        fi2 = np.asarray(fi2, np.int32)
+        kf2 = np.broadcast_to(np.asarray(kf2, np.int32), (n,))
+        self.mp_pos.extend(np.asarray(pos, np.float32))
+        self.mp_desc.extend(np.asarray(desc, np.uint32))
+        self.mp_normal.extend(
+            np.broadcast_to(np.array([0, 0, 1], np.float32), (n, 3))
+            if normal is None else np.asarray(normal, np.float32))
+        self.mp_min_dist.extend(np.full(n, min_dist, np.float32))
+        self.mp_max_dist.extend(np.full(n, max_dist, np.float32))
+        self.mp_valid.extend(np.ones(n, bool))
+        self.mp_first_kf.extend(np.full(
+            n, kf1 if first_kf is None else first_kf, np.int64))
+        self.mp_n_visible.extend(np.ones(n, np.int64))
+        self.mp_n_found.extend(np.ones(n, np.int64))
+        self.mp_replaced_by.extend(np.full(n, -1, np.int64))
+        self.mp_first_frame.extend(np.full(n, first_frame, np.int64))
+        self.mp_obs.extend({int(kf1): int(a), int(k): int(b)}
+                           for a, k, b in zip(fi1, kf2, fi2))
+        self.obs.add_rows(n)
+        self.obs.kid[pids, 0] = kf1
+        self.obs.fi[pids, 0] = fi1
+        self.obs.kid[pids, 1] = kf2
+        self.obs.fi[pids, 1] = fi2
+        self.obs.n[pids] = 2
+        pids32 = pids.astype(np.int32)
+        self.kfs[kf1].frame.mp_ids[fi1] = pids32
+        for k in np.unique(kf2):
+            m = kf2 == k
+            self.kfs[int(k)].frame.mp_ids[fi2[m]] = pids32[m]
+        self.dirty_points.update(pids.tolist())
+        return pids
 
     def add_observation(self, pid: int, kid: int, feat_idx: int):
         self.mp_obs[pid][kid] = feat_idx

@@ -70,21 +70,6 @@ def _fuse_stack_impl(pos, normal, min_d, max_d, pvalid, desc,
     return jax.lax.map(body, (Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s))
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale", "th",
-    "ratio"))
-def _fuse_project_stack(pos, normal, min_d, max_d, pvalid, desc,
-                        Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
-                        scale_factors, fx, fy, cx, cy, bounds,
-                        n_levels, log_scale, th=3.0, ratio=1.0):
-    """One shared point set projected into MANY target keyframes
-    (forward ORBmatcher::Fuse over all fuse targets) in one jit call."""
-    return _fuse_stack_impl(pos, normal, min_d, max_d, pvalid, desc,
-                            Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s,
-                            scale_factors, fx, fy, cx, cy, bounds,
-                            n_levels, log_scale, th, ratio)
-
-
 def _unpack_mask(packed, n):
     """Device-side np.packbits inverse: (B, n/8) uint8 -> (B, n) bool
     (big-endian bit order, matching numpy's default)."""
@@ -694,26 +679,29 @@ class LocalMapper:
                 claimed |= np.array(h2)
 
         with self.timer.time("tri/apply"):
-            new_pids: List[int] = []
-            for i_r, r in enumerate(np.where(good)[0]):
-                if i_r % 64 == 63:
-                    store.yield_lock()
-                kid2 = elig[nb[r]][0]
-                f2 = store.kfs[kid2].frame
-                c = int(col[r])
-                if f1.mp_ids[r] >= 0 or f2.mp_ids[c] >= 0:
-                    continue
-                pid = store.add_point(
-                    pos=X[r], desc=f1.desc[r],
-                    normal=np.array([0, 0, 1.0], np.float32),
-                    min_dist=0.1, max_dist=100.0, first_kf=kid,
-                    first_frame=f1.frame_id)
-                store.add_observation(pid, kid, int(r))
-                store.add_observation(pid, kid2, c)
-                new_pids.append(pid)
-                self.recent_points.append(pid)
+            rows = np.where(good)[0]
+            elig_kids = np.array([e[0] for e in elig], np.int32)
+            kid2_arr = elig_kids[nb[rows]]
+            cols = col[rows].astype(np.int32)
+            # claim semantics of the old sequential loop: skip rows
+            # whose f1 feature is already bound, whose target feature
+            # is already bound, or whose (kid2, col) slot an earlier
+            # row of THIS batch already claimed
+            keep = f1.mp_ids[rows] < 0
+            for k in np.unique(kid2_arr):
+                m = kid2_arr == k
+                f2ids = store.kfs[int(k)].frame.mp_ids
+                keep_m = keep[m] & (f2ids[cols[m]] < 0)
+                first = np.zeros(int(m.sum()), bool)
+                first[np.unique(cols[m], return_index=True)[1]] = True
+                keep[m] = keep_m & first
+            rows, kid2_arr, cols = rows[keep], kid2_arr[keep], cols[keep]
+            new_pids = store.add_points_batch(
+                pos=X[rows], desc=f1.desc[rows], kf1=kid, fi1=rows,
+                kf2=kid2_arr, fi2=cols, first_frame=f1.frame_id)
+            self.recent_points.extend(new_pids.tolist())
         with self.timer.time("tri/update_points"):
-            store.update_points_batch(new_pids)
+            store.update_points_batch(new_pids.tolist())
         with self.timer.time("tri/update_conn"):
             store.update_connections(kid)
 
@@ -761,13 +749,12 @@ class LocalMapper:
             own = own_arr.tolist()
             cand = cand_arr.tolist()
         self._fuse_touched = []
-        if own and all_targets and cand:
+        # ONE fuse variant, ever: empty own/cand pad to -1 rows that the
+        # kernels mask out, so no alternate code path can compile a
+        # second kernel mid-run (each stray variant costs a ~5 s remote
+        # compile inside the measured window)
+        if all_targets and (own or cand):
             self._fuse_combined(kid, all_targets, own, cand)
-        else:
-            if own and all_targets:
-                self._fuse_batch(all_targets, own)
-            if cand:
-                self._fuse_into_kf(kid, cand)
         # refresh (batched: one native medoid call + segment sums) —
         # covers this KF's bindings AND every merge winner, so the
         # per-replace refresh inside the loop is skipped entirely
@@ -791,8 +778,9 @@ class LocalMapper:
         P2 = pad_bucket(len(cand), cfg.pad_min_cand)
         cand_rows = np.pad(np.asarray(cand, np.int32),
                            (0, P2 - len(cand)), constant_values=-1)
-        store.dev_points.sync(store)
-        dp_args = store.dev_points.snapshot()
+        with self.timer.time("fuse/sync"):
+            store.dev_points.sync(store)
+            dp_args = store.dev_points.snapshot()
 
         T = len(target_kids)
         CH = 8  # targets per kernel: short kernels let the camera-rate
@@ -838,7 +826,8 @@ class LocalMapper:
                 self._j_scales, fx, fy, cx, cy, bounds,
                 cfg.orb.n_levels, self.log_scale, th=3.0, ratio=1.0)
             # ONE batched read for all chunks + the reverse direction
-            parts, rev_feat = jax.device_get((fwd_parts, rev_dev))
+            with self.timer.time("fuse/read"):
+                parts, rev_feat = jax.device_get((fwd_parts, rev_dev))
             sfeat = np.concatenate(parts)
         with self.timer.time("fuse/apply"):
             for b, t in enumerate(target_kids):
@@ -894,110 +883,6 @@ class LocalMapper:
             else:
                 store.add_observation(pid, kid, int(feat))
                 self._fuse_touched.append(pid)
-
-    def _fuse_batch(self, target_kids: List[int], pids: List[int]):
-        """Forward fuse of one point set into many keyframes: a single
-        lax.map'd frustum+search call, then host-side merge decisions."""
-        store = self.store
-        cfg = self.cfg
-        soa = store.points_soa(pids)
-        P = pad_bucket(len(pids), cfg.pad_min_cand)
-        pad = P - len(pids)
-        T = len(target_kids)
-        Tp = 24
-        n2 = max(store.kfs[t].frame.n for t in target_kids)
-        frames_t = [store.kfs[t].frame for t in target_kids]
-        stack_list = frames_t + [frames_t[0]] * (Tp - T)
-
-        def dstack(name):
-            return jnp.stack([fr.dev_padded(name, n2) for fr in stack_list])
-
-        Tcw_s = np.tile(np.eye(4, dtype=np.float32), (Tp, 1, 1))
-        kvalid = np.zeros((Tp, n2), bool)
-        for b, t in enumerate(target_kids):
-            Tcw_s[b] = store.kfs[t].Tcw
-            kvalid[b, :frames_t[b].n] = frames_t[b].valid
-
-        fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
-                          float(cfg.cam.cx), float(cfg.cam.cy))
-        from ..geom.camera import undistorted_bounds
-        bounds = undistorted_bounds(cfg.cam)
-        with store.unlocked():
-            sidx, sdist, svalid = jax.device_get(_fuse_project_stack(
-                jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
-                jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
-                jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
-                jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
-                jnp.asarray(np.pad(soa["valid"], (0, pad))),
-                jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
-                jnp.asarray(Tcw_s), dstack("xy"), dstack("octave"),
-                dstack("desc"), jnp.asarray(kvalid),
-                self._j_scales,
-                fx, fy, cx, cy, bounds, cfg.orb.n_levels, self.log_scale,
-                th=3.0, ratio=1.0))
-        feat = np.where(svalid & (sdist <= 50), sidx, -1)
-        for b, t in enumerate(target_kids):
-            self._apply_fuse(t, pids, feat[b])
-
-    def _fuse_into_kf(self, kid: int, pids: List[int]):
-        """ORBmatcher::Fuse (src/ORBmatcher.cc:1060-1216)."""
-        store = self.store
-        cfg = self.cfg
-        pids = [p for p in pids if store.mp_valid[p]
-                and kid not in store.mp_obs[p]]
-        if not pids:
-            return
-        kf = store.kfs[kid]
-        f = kf.frame
-        n = pad_bucket(len(pids))
-        soa = store.points_soa(pids)
-        pad = n - len(pids)
-        fx, fy, cx, cy = (float(cfg.cam.fx), float(cfg.cam.fy),
-                          float(cfg.cam.cx), float(cfg.cam.cy))
-        from ..geom.camera import undistorted_bounds
-        bounds = undistorted_bounds(cfg.cam)
-        fr = frustum.is_in_frustum(
-            jnp.asarray(np.pad(soa["pos"], ((0, pad), (0, 0)))),
-            jnp.asarray(np.pad(soa["normal"], ((0, pad), (0, 0)))),
-            jnp.asarray(np.pad(soa["min_dist"], (0, pad))),
-            jnp.asarray(np.pad(soa["max_dist"], (0, pad))),
-            jnp.asarray(np.pad(soa["valid"], (0, pad))),
-            jnp.asarray(kf.Tcw), fx, fy, cx, cy, bounds,
-            cfg.orb.n_levels, self.log_scale)
-        res = search.search_by_projection_local_map(
-            fr.uv, fr.pred_level, fr.view_cos,
-            jnp.asarray(np.pad(soa["desc"], ((0, pad), (0, 0)))),
-            fr.visible,
-            jnp.asarray(f.xy), jnp.asarray(f.octave),
-            jnp.asarray(f.desc), jnp.asarray(f.valid),
-            jnp.asarray(np.zeros(f.n, bool)),  # allow bound features
-            jnp.asarray(self.scale_factors.astype(np.float32)), th=3.0,
-            ratio=1.0)
-        res = res.host()
-        rvalid = res.valid
-        ridx = res.idx
-        rdist = res.dist
-        for j in np.where(rvalid[:len(pids)])[0]:
-            if rdist[j] > 50:
-                continue
-            pid = pids[j]
-            feat = int(ridx[j])
-            existing = f.mp_ids[feat]
-            if existing >= 0 and store.mp_valid[existing]:
-                if existing == pid:
-                    continue
-                # keep the point with more observations (refresh deferred
-                # to _fuse_neighbors' batched update)
-                if len(store.mp_obs[existing]) > len(store.mp_obs[pid]):
-                    store.replace_point(pid, existing, refresh=False)
-                    self._fuse_touched.append(existing)
-                else:
-                    store.replace_point(existing, pid, refresh=False)
-                    self._fuse_touched.append(pid)
-            else:
-                if store.mp_valid[pid] and kid not in store.mp_obs[pid]:
-                    store.add_observation(pid, kid, feat)
-                    self._fuse_touched.append(pid)
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kid: int):

@@ -594,14 +594,12 @@ class Tracker:
         store = self.store
         k1 = store.add_keyframe(f1)
         k2 = store.add_keyframe(f2)
-        new_pids = []
-        for r, c, x in zip(rows, cols, X):
-            pid = store.add_point(
-                pos=x, desc=f2.desc[c], normal=np.array([0, 0, 1.0], np.float32),
-                min_dist=0.1, max_dist=100.0, first_kf=k2, first_frame=f2.frame_id)
-            store.add_observation(pid, k1, int(r))
-            store.add_observation(pid, k2, int(c))
-            new_pids.append(pid)
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        new_pids = store.add_points_batch(
+            pos=np.asarray(X, np.float32), desc=f2.desc[cols],
+            kf1=k1, fi1=rows, kf2=k2, fi2=cols,
+            first_frame=f2.frame_id, first_kf=k2).tolist()
         store.update_points_batch(new_pids)
         store.update_connections(k1)
         store.update_connections(k2)
