@@ -20,6 +20,9 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# timestamped mapper-thread stage lines interleave with the frame log
+# (stderr) — lets a stalled mapper be SEEN next to the fps number
+os.environ.setdefault("ORB_SLAM2_TPU_LOG", "INFO")
 
 import numpy as np
 
@@ -55,6 +58,11 @@ def main():
         pad_min_cand=16384,
         pad_min_obs=65536,
         pad_min_pts=16384,
+        # total point ALLOCATION over the run (~30 KFs x ~1.6k tri
+        # points + init) crosses 65536 near the window's end; crossing
+        # reallocates the device point SoA and recompiles every
+        # point-consuming kernel (~5 s each through the remote relay)
+        device_point_capacity=262144,
         # one-frame-lag pipelining: frame t's results are consumed at
         # frame t+1 while the transfer streams in the background — the
         # host round-trip wait leaves the frame period
@@ -135,11 +143,21 @@ def main():
         nxt = frames[i + 1] if i + 1 < n_warm + n_meas else None
         f = sys_.track_monocular_with_pose(frames[i], i * 0.1, poses[i],
                                            next_image=nxt)
+        st = sys_.tracker.store
+        lf = sys_.tracker.last_frame
+        fresh = 0
+        if lf is not None:
+            b = lf.mp_ids[lf.mp_ids >= 0].astype(np.int64)
+            if len(b):
+                fresh = int((np.asarray(st.mp_first_frame[b])
+                             >= lf.frame_id - 15).sum())
+        qd = sys_.map_worker._q.qsize() if sys_.map_worker else 0
         log(f"frame {i}: {time.perf_counter() - t1 :.2f}s "
             f"state={sys_.state.name} "
             f"inl={sys_.tracker.matches_inliers} "
-            f"pts={sys_.tracker.store.n_valid_points()} "
-            f"kfs={sys_.tracker.store.n_valid_keyframes()}")
+            f"fresh15={fresh} qd={qd} "
+            f"pts={st.n_valid_points()} alloc={st.n_points()} "
+            f"kfs={st.n_valid_keyframes()}")
         if sys_.state == TrackState.OK:
             n_ok += 1
     # the camera-rate clock stops when the last frame's TRACKING result

@@ -188,7 +188,13 @@ class _ObsMirror:
 
 
 class MapStore:
-    def __init__(self):
+    def __init__(self, dev_capacity: int = 65536):
+        # device point-store capacity floor: crossing it mid-run
+        # reallocates the device SoA AND recompiles every kernel that
+        # consumes it (tracking fused step, fuse, triangulation) — a
+        # multi-second stall through a remote-compile relay.  Size it
+        # to the run's total point ALLOCATION (culled rows included).
+        self.dev_capacity = int(dev_capacity)
         # Map::mMutexUpdateMap equivalent (include/Map.h:148-150): held
         # by the tracker's host-side read/apply sections and by the
         # async mapper's stages; the mapper releases it around its long
@@ -241,7 +247,7 @@ class MapStore:
         map — tracker and mapper gather rows from the same arrays)."""
         if self._dev_points is None:
             from .device_points import DevicePoints
-            self._dev_points = DevicePoints()
+            self._dev_points = DevicePoints(min_capacity=self.dev_capacity)
         return self._dev_points
 
     def yield_lock(self):

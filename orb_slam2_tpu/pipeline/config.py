@@ -72,6 +72,10 @@ class SlamConfig:
     pad_min_cand: int = 256     # local-map candidates (fused step C)
     pad_min_obs: int = 256      # BA observation rows
     pad_min_pts: int = 256      # BA point rows
+    # device point-store capacity (TOTAL rows ever allocated, culled
+    # included — rows are append-only).  Crossing it mid-run recompiles
+    # every point-consuming kernel; size to the run's allocation
+    device_point_capacity: int = 65536
 
     # --- one-frame-lag pipelined tracking (pose-prior mode) ---
     # When True, the fused tracking step for frame t is dispatched and

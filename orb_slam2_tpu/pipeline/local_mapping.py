@@ -503,6 +503,8 @@ class LocalMapper:
     def _process_keyframe_locked(self, kid: int,
                                  queue_pressure: bool = False):
         store = self.store
+        log.info("KF %d begin (pressure=%s, alloc=%d)", kid,
+                 queue_pressure, store.n_points())
         # ProcessNewKeyFrame (src/LocalMapping.cc:180-197): refresh the
         # bound points' descriptors/normals and the covisibility graph
         # here on the mapping thread (tracking only records bindings)
@@ -1008,6 +1010,14 @@ class AsyncMapper:
     def process_keyframe(self, kid: int):
         self._reraise()
         self._q.put(kid)
+
+    def idle(self) -> bool:
+        """LocalMapping::AcceptKeyFrames equivalent
+        (src/LocalMapping.cc:572-583): no queued keyframe and none mid
+        -processing.  The tracker's NeedNewKeyFrame gates monocular KF
+        insertion on this (src/Tracking.cc:559-615) — the feedback loop
+        that throttles keyframe production to what mapping can absorb."""
+        return self._q.unfinished_tasks == 0
 
     def _run(self):
         while True:

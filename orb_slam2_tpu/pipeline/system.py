@@ -35,7 +35,7 @@ class System:
         deterministic sequential pipeline (bit-reproducible, used by the
         test suite)."""
         self.cfg = config
-        self.store = MapStore()
+        self.store = MapStore(dev_capacity=config.device_point_capacity)
         self.store.set_scale_info(config.orb.scale_factor, config.orb.n_levels)
         self.factory = FrameFactory(config.cam, config.orb)
         self.tracker = Tracker(config, self.store, self.factory)
@@ -44,6 +44,7 @@ class System:
         if async_mapping:
             from .local_mapping import AsyncMapper
             self.map_worker = AsyncMapper(self.mapper)
+            self.tracker.mapping_idle = self.map_worker.idle
 
         # place recognition (vocabulary + BoW database) backs both loop
         # closing and relocalization (src/System.cc:65-83)
@@ -159,7 +160,7 @@ class System:
         """System/Tracking::Reset (src/Tracking.cc:1009-1052)."""
         self.tracker._pending = None  # drop any in-flight pipelined frame
         self.flush_mapping()  # reference's blocking reset handshake
-        self.store = MapStore()
+        self.store = MapStore(dev_capacity=self.cfg.device_point_capacity)
         self.store.set_scale_info(self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
         self.tracker.store = self.store
         self.mapper.store = self.store

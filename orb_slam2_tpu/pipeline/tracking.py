@@ -277,6 +277,9 @@ class Tracker:
 
         # wired by System
         self.on_new_keyframe: Optional[Callable[[int], None]] = None
+        # probe: is the mapping worker idle?  None = synchronous
+        # pipeline (always idle).  Wired by System in async mode
+        self.mapping_idle: Optional[Callable[[], bool]] = None
         self.on_reset: Optional[Callable[[], None]] = None
         self.relocalize: Optional[Callable[[Frame], bool]] = None
 
@@ -1210,11 +1213,19 @@ class Tracker:
         if len(rp):
             rp = rp[np.asarray(self.store.mp_valid[rp], bool)]
         n_ref = int((self.store.obs.n[rp] >= min_obs).sum()) if len(rp) else 0
+        # LocalMapping::AcceptKeyFrames gate (src/Tracking.cc:559-615):
+        # monocular NEVER inserts while mapping is busy — the feedback
+        # loop that throttles KF production to the mapper's rate.
+        # Without it an async mapper's queue grows unboundedly and
+        # triangulated points land tens of frames behind the camera
+        # (measured: queue depth 21, zero fresh points ever tracked).
+        idle = self.mapping_idle() if self.mapping_idle else True
         c1a = frame.frame_id >= self.last_kf_frame_id + self.cfg.max_frames_between_kf
-        c1b = frame.frame_id >= self.last_kf_frame_id + self.cfg.min_frames_between_kf
+        c1b = (frame.frame_id >= self.last_kf_frame_id
+               + self.cfg.min_frames_between_kf) and idle
         c2 = (self.matches_inliers < n_ref * self.cfg.ref_ratio
               and self.matches_inliers > 15)
-        return (c1a or c1b) and c2
+        return (c1a or c1b) and c2 and idle
 
     def _create_new_keyframe(self, frame: Frame):
         kid = self.store.add_keyframe(frame)

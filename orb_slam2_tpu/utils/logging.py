@@ -30,7 +30,7 @@ def enable(level: str = "INFO"):
     global _CONFIGURED
     h = logging.StreamHandler()
     h.setFormatter(logging.Formatter(
-        "%(asctime)s %(levelname).1s %(name)s] %(message)s",
+        "%(asctime)s.%(msecs)03d %(levelname).1s %(name)s] %(message)s",
         datefmt="%H:%M:%S"))
     root = logging.getLogger("orb_slam2_tpu")
     root.handlers[:] = [h]

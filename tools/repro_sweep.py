@@ -25,16 +25,24 @@ def main():
     asyncm = os.environ.get("REPRO_ASYNC", "0") == "1"
     pipelined = os.environ.get("REPRO_PIPE", "0") == "1"
     n_frames = int(os.environ.get("REPRO_FRAMES", "80"))
+    n_levels = int(os.environ.get("REPRO_LEVELS", "4"))
+    n_feat = int(os.environ.get("REPRO_NFEAT", "1000"))
+    floors = os.environ.get("REPRO_FLOORS", "0") == "1"
+    loop = os.environ.get("REPRO_LOOP", "0") == "1"
+    n_warm = int(os.environ.get("REPRO_WARM", "0"))
 
     cam = Intrinsics(fx=320.0, fy=320.0, cx=320.0, cy=240.0,
                      width=640, height=480)
     cfg = SlamConfig(
         cam=cam,
-        orb=OrbParams(n_features=1000, n_levels=4, scale_factor=1.2),
+        orb=OrbParams(n_features=n_feat, n_levels=n_levels,
+                      scale_factor=1.2),
         fps=10.0, pose_prior=True,
         init_min_matches=60, init_min_triangulated=40,
         init_min_tracked_after_ba=60,
         pipelined_tracking=pipelined,
+        **(dict(pad_min_bound=1024, pad_min_cand=4096,
+                pad_min_obs=16384, pad_min_pts=4096) if floors else {}),
     )
     # same geometry as the bench: height 12, speed 0.5/frame, footprint
     # half-width = 12 * (320/320) = 12 units; strip covers the sweep
@@ -45,7 +53,7 @@ def main():
     frames_np = [np.clip(synth.render(world, cam, T), 0, 255)
                  .astype(np.uint8) for T in poses]
 
-    sys_ = System(cfg, enable_loop_closing=False, async_mapping=asyncm)
+    sys_ = System(cfg, enable_loop_closing=loop, async_mapping=asyncm)
     tr = sys_.tracker
     store = tr.store
     created_at = np.full(10 ** 6, -1, np.int64)  # pid -> creation frame
@@ -53,7 +61,7 @@ def main():
     for i in range(n_frames):
         t0 = time.perf_counter()
         sys_.track_monocular_with_pose(frames_np[i], i * 0.1, poses[i])
-        if not asyncm:
+        if not asyncm or i < n_warm:
             sys_.flush_mapping()
         f = tr.last_frame
         alloc = len(store.mp_valid)
@@ -65,6 +73,22 @@ def main():
               f"bound={len(bound):5d} fresh10={fresh:5d} "
               f"pts={store.n_valid_points():6d} "
               f"kfs={store.n_valid_keyframes():3d}",
+              flush=True)
+    # post-mortem: late-created points (after frame 30) — were they
+    # ever seen by the tracker's frustum pass (n_visible) or matched
+    # (n_found)?  Distinguishes "never a candidate" from "candidate but
+    # never matched".
+    alloc = len(store.mp_valid)
+    late = np.where(np.asarray(store.mp_first_frame[:alloc]) >= 30)[0]
+    if len(late):
+        vis = np.asarray(store.mp_n_visible[late])
+        fnd = np.asarray(store.mp_n_found[late])
+        alive = np.asarray(store.mp_valid[late], bool)
+        print(f"late points (first_frame>=30): n={len(late)} "
+              f"alive={int(alive.sum())} "
+              f"visible>1: {int((vis > 1).sum())} "
+              f"found>1: {int((fnd > 1).sum())} "
+              f"max_vis={int(vis.max())} max_fnd={int(fnd.max())}",
               flush=True)
     sys_.shutdown()
     print("done")
