@@ -143,7 +143,6 @@ def _track_prior_step(Tcw,
                       pt_alive,
                       bound_pid_rows, last_rows, cand_rows,
                       last_octave_all, last_desc_all, last_angle_all,
-                      cand_bound_row,
                       kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
                       scale_factors, inv_sigma2,
                       fx, fy, cx, cy, bounds, n_levels, log_scale,
@@ -157,9 +156,9 @@ def _track_prior_step(Tcw,
        src/Tracking.cc:1108-1142),
     3. mark the matched keypoints as bound,
     4. frustum-cull the local-map candidates (points currently bound are
-       masked via ``cand_bound_row`` -> row index into the last-frame
-       match rows) and run the local-map projection search against the
-       remaining keypoints (src/ORBmatcher.cc:64-160),
+       masked via an in-kernel sorted search of the bound pid rows)
+       and run the local-map projection search against the remaining
+       keypoints (src/ORBmatcher.cc:64-160),
     5. chi2-gate the new matches.
 
     Everything the reference does across TrackWithInitialPose +
@@ -209,10 +208,18 @@ def _track_prior_step(Tcw,
     has_mp = jnp.zeros(nf, jnp.int32).at[res.idx].max(
         gate.astype(jnp.int32)) > 0
 
-    # candidate rows whose point is bound this frame drop out
-    row_bound = jnp.where(
-        cand_bound_row >= 0,
-        gate[jnp.clip(cand_bound_row, 0, None)], False)
+    # candidate rows whose point is GATED-bound this frame drop out.
+    # The cand->bound row map is computed HERE by sorted search (4096
+    # bound rows x 16384 probes is negligible on device) instead of on
+    # the host: saves a 64 KB cand_bound_row upload per frame through
+    # the link plus the host-side searchsorted (the link and the host
+    # epilogue are the frame budget, not device FLOPs).  -1 pads on
+    # both sides only ever match rows whose gate is False.
+    order = jnp.argsort(bound_pid_rows)
+    sorted_pids = bound_pid_rows[order]
+    pos = jnp.clip(jnp.searchsorted(sorted_pids, cand_rows),
+                   0, sorted_pids.shape[0] - 1)
+    row_bound = (sorted_pids[pos] == cand_rows) & gate[order[pos]]
     cvalid = cand_valid & ~row_bound
     fr = frustum.is_in_frustum(cand_pos, cand_normal, cand_min, cand_max,
                                cvalid, Tcw, fx, fy, cx, cy, bounds,
@@ -287,11 +294,9 @@ class Tracker:
         # device-side local-map preparation for the fused step, built at
         # the end of each tracked frame for the next one
         self._prep = None
-        # in-flight pipelined frame: (frame, Future of host results)
-        self._pending = None
-        from concurrent.futures import ThreadPoolExecutor
-        self._reader = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="track-read")
+        # in-flight pipelined frames, oldest first: list of
+        # (frame, Future of host results); up to 2 deep (adaptive lag)
+        self._pending = []
 
         cam = config.cam
         self._cam_tuple = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
@@ -322,10 +327,18 @@ class Tracker:
                                       Tcw=pose_prior, init_mode=init_mode,
                                       started=started)
 
-        if self._pending is not None:
+        if self._pending:
             # one-frame-lag pipeline: commit the previous frame's
-            # dispatched step before touching this one
-            self._finish_pending()
+            # dispatched step before touching this one.  Steady state
+            # takes the fast path: consume -> prep -> DISPATCH this
+            # frame -> only then the keyframe epilogue, so the result
+            # round trip overlaps the epilogue instead of following it
+            if not init_mode:
+                done = self._finish_pending_fast(frame, pre_read_hook)
+                if done is not None:
+                    return done
+            else:
+                self._finish_pending()
 
         if init_mode:
             with self.store.lock:
@@ -346,16 +359,10 @@ class Tracker:
                 with self.timer.time("track/fused_step"):
                     out = self._fused_dispatch(frame, pre_read_hook)
                 if self.cfg.pipelined_tracking:
-                    # results consumed at the NEXT frame; a reader
-                    # thread blocks on the device_get NOW so the wait
-                    # for compute + round trip overlaps the caller's
-                    # inter-frame host work — at consume time the
-                    # numpy results are already here
-                    for leaf in out:
-                        leaf.copy_to_host_async()
-                    self._pending = (frame,
-                                     self._reader.submit(jax.device_get,
-                                                         out))
+                    # results consumed 1-2 frames later; the async
+                    # copies (requested inside _fused_dispatch) land in
+                    # the leaves' host caches on their own
+                    self._pending.append((frame, out, self._prep))
                     return frame
                 verdict = self._fused_verdict(frame, out)
                 if verdict == "ok":
@@ -430,15 +437,67 @@ class Tracker:
                  frame.n_tracked())
         self.last_frame = frame
 
+    def _post_track_core(self, frame: Frame, ok: bool,
+                         do_prep: bool = True) -> bool:
+        """State machine + next-frame prep ONLY (pipelined fast path).
+        The keyframe decision/creation, reset, and logging run in
+        :meth:`_post_track_epilogue` — AFTER the caller has dispatched
+        the next frame's fused step.  Dispatching first removes the
+        epilogue (~25 ms of host bookkeeping) from the phase between a
+        frame's dispatch and its result wait: measured on the chip, the
+        fused step computes in ~2 ms and its 46 KB of outputs land in
+        one ~32 ms round trip, so the earlier the dispatch, the more of
+        that latency the NEXT frame's host work hides.  Returns
+        ``do_reset`` for the epilogue."""
+        do_reset = False
+        with self.store.lock:
+            if ok:
+                self.state = TrackState.OK
+                if not self.cfg.pose_prior and self.last_frame is not None:
+                    self.velocity = frame.Tcw @ np.linalg.inv(
+                        self.last_frame.Tcw)
+            else:
+                self.state = TrackState.LOST
+                self.velocity = None
+                self._prep = None
+                do_reset = (self.store.n_valid_keyframes() <= 5
+                            and self.on_reset is not None)
+            if do_prep and self.state == TrackState.OK \
+                    and self.cfg.pose_prior:
+                with self.timer.time("track/prep_next"):
+                    self._prepare_next(frame)
+        self.last_frame = frame
+        return do_reset
+
+    def _post_track_epilogue(self, frame: Frame, ok: bool,
+                             do_reset: bool):
+        """Deferred half of the pipelined epilogue: keyframe decision
+        (one keyframe staler than the sequential path w.r.t. the just
+        -prepared candidate set — the new KF's triangulated points are
+        produced asynchronously and land frames later either way),
+        reset handshake, per-frame log."""
+        if ok:
+            with self.store.lock:
+                with self.timer.time("track/need_kf"):
+                    need = (self.mapping_enabled
+                            and self._need_new_keyframe(frame))
+                if need:
+                    with self.timer.time("track/create_kf"):
+                        self._create_new_keyframe(frame)
+        if do_reset:
+            self.on_reset()
+        log.info("frame %d: state=%s inliers=%d tracked=%d",
+                 frame.frame_id, self.state.name, self.matches_inliers,
+                 frame.n_tracked())
+
     def _finish_pending(self):
         """Commit the pipelined frame: consume its fused-step results
         (already streamed to host), then run the standard epilogue.
         Falls back to reference-KF tracking / LOST exactly like the
         sequential path — just one frame later."""
-        pframe, out = self._pending
-        self._pending = None
+        pframe, out, prep = self._pending.pop(0)
         with self.timer.time("track/finish_pending"):
-            verdict = self._fused_verdict(pframe, out)
+            verdict = self._fused_verdict(pframe, out, prep)
             ok = False
             fused_done = False
             if verdict == "ok":
@@ -453,10 +512,77 @@ class Tracker:
                     ok = self._track_local_map(pframe)
             self._post_track(pframe, ok)
 
+    def _consume_head(self, do_prep: bool = True) -> bool:
+        """Consume the OLDEST in-flight pipelined frame: verdict ->
+        bindings -> state machine (+ optional next-frame prep) ->
+        keyframe epilogue.  Returns ok."""
+        pframe, fut, prep = self._pending.pop(0)
+        verdict = self._fused_verdict(pframe, fut, prep)
+        ok = False
+        fused_done = False
+        if verdict == "ok":
+            ok = fused_done = True
+        elif verdict == "lost":
+            fused_done = True
+        else:
+            with self.store.lock:
+                ok = self._track_reference_kf(pframe)
+        if ok and not fused_done:
+            with self.store.lock:
+                ok = self._track_local_map(pframe)
+        do_reset = self._post_track_core(pframe, ok, do_prep=do_prep)
+        self._post_track_epilogue(pframe, ok, do_reset)
+        return ok
+
+    def _finish_pending_fast(self, frame: Frame, pre_read_hook):
+        """Adaptive-lag pipelined steady path.  Up to TWO fused steps
+        stay in flight; the head is consumed only when it is FORCED
+        (two already in flight) or FREE (its host transfer finished).
+        On a fast link this degenerates to the classic one-frame lag;
+        through a slow tunnel the consume trails the dispatch by two
+        frames, so the dispatch->reply latency (~45 ms measured: ~2 ms
+        compute + ~32 ms round trip + transfer) is paid once per TWO
+        frame periods of host work instead of bounding every period.
+        The cost: frame-to-frame matching runs against the newest
+        CONSUMED frame (t-2 instead of t-1 under full lag).  The
+        local-map candidate search is unaffected — it projects with
+        frame t's own pose prior.  Returns the frame when dispatched,
+        None when the caller must fall back (LOST, stale prep,
+        reset)."""
+        with self.timer.time("track/finish_pending"):
+            # consume AT MOST ONE head per frame: consuming every ready
+            # head collapses the pipeline back to zero lag, so the next
+            # dispatch's round trip is paid in full again (and the prep
+            # is rebuilt twice).  One-in one-out keeps the queue primed
+            # at depth 2 and the head always arrived by consume time
+            if len(self._pending) >= 2:
+                self._consume_head()
+        if self.state != TrackState.OK:
+            # drain whatever is still in flight with full semantics so
+            # relocalization sees the newest state
+            while self._pending:
+                with self.timer.time("track/finish_pending"):
+                    self._consume_head()
+            return None
+        prep_ok = (self._prep is not None
+                   and self._prep["frame"] is self.last_frame)
+        if not prep_ok:
+            return None
+        with self.timer.time("track/fused_step"):
+            out = self._fused_dispatch(frame, pre_read_hook)
+        # the async copies (requested inside _fused_dispatch, BEFORE
+        # the next extraction is queued) stream into the leaves' host
+        # caches on their own: the consume-time read is ~0.3 ms once
+        # landed (a background reader thread issuing jax.device_get
+        # instead costs a blocking RPC that contends with every other
+        # tunnel transfer - measured 31-51 ms at consume time)
+        self._pending.append((frame, out, self._prep))
+        return frame
+
     def flush(self):
         """Finalize any in-flight pipelined frame (call before reading
         trajectories/maps or shutting down)."""
-        if self._pending is not None:
+        while self._pending:
             self._finish_pending()
 
     # ------------------------------------------------------------------
@@ -832,14 +958,6 @@ class Tracker:
         if len(uniq) == 0:
             self._prep = None
             return
-        # map each candidate pid to its row in the bound list (-1: free)
-        order = np.argsort(bound_pids)
-        sortedp = bound_pids[order]
-        pos_in = np.searchsorted(sortedp, uniq)
-        pos_in_c = np.clip(pos_in, 0, len(sortedp) - 1)
-        hit = sortedp[pos_in_c] == uniq
-        cand_bound_row = np.where(hit, order[pos_in_c], -1).astype(np.int32)
-
         L = pad_bucket(len(bound_idx), self.cfg.pad_min_bound)
         C = pad_bucket(len(uniq), self.cfg.pad_min_cand)
         padl = L - len(bound_idx)
@@ -860,8 +978,6 @@ class Tracker:
                                          (0, padl))),
             cand_rows=jnp.asarray(np.pad(
                 uniq.astype(np.int32), (0, padc), constant_values=-1)),
-            cand_bound_row=jnp.asarray(
-                np.pad(cand_bound_row, (0, padc), constant_values=-1)),
         )
 
     def _fused_dispatch(self, frame: Frame, pre_read_hook=None):
@@ -880,23 +996,44 @@ class Tracker:
                 *dp_arrs,
                 p["bound_pid_rows"], p["last_rows"], p["cand_rows"],
                 last.dev("octave"), last.dev("desc"), last.dev("angle"),
-                p["cand_bound_row"],
                 frame.dev("xy"), frame.dev("octave"), frame.dev("desc"),
                 frame.dev("valid"), frame.dev("angle"),
                 self._j_scales, self._j_inv_sigma2,
                 fx, fy, cx, cy, self.bounds,
                 self.cfg.orb.n_levels, self.log_scale,
                 7.0, th_local, self.cfg.chi2_mono)
+        # request the host copies BEFORE the hook dispatches the next
+        # frame's extraction: the tunnel services requests in order, so
+        # copies requested after a ~31 ms extract wait behind it and
+        # the consume-time read degrades to a full round trip (36 ms
+        # measured) instead of ~0 on landed data
+        for leaf in out:
+            leaf.copy_to_host_async()
         if pre_read_hook is not None:
             pre_read_hook()
         return out
 
-    def _fused_verdict(self, frame: Frame, out) -> str:
+    def _fused_verdict(self, frame: Frame, out, p=None) -> str:
         """Consume the fused step's results.  Returns 'ok', 'prior_fail'
         (frame-to-frame match too weak -> try reference-KF tracking), or
         'lost' (local-map inliers below threshold,
         src/Tracking.cc:641-666)."""
-        p = self._prep
+        if p is None:
+            p = self._prep
+        import os as _os
+        if _os.environ.get("ORB_TRACK_READ_DEBUG"):
+            import time as _t
+            leaves = out if isinstance(out, (tuple, list)) else [out]
+            ready = [bool(l.is_ready()) for l in leaves
+                     if hasattr(l, "is_ready")]
+            _t0 = _t.perf_counter()
+            jax.device_get(leaves[0])
+            d0 = (_t.perf_counter() - _t0) * 1e3
+            _t0 = _t.perf_counter()
+            jax.device_get(leaves[1:])
+            d1 = (_t.perf_counter() - _t0) * 1e3
+            print(f"# READ_DEBUG ready={ready} leaf0={d0:.1f}ms "
+                  f"rest={d1:.1f}ms", flush=True)
         with self.timer.time("fused/read"):
             if hasattr(out, "result"):   # pipelined: background reader
                 out = out.result()

@@ -176,7 +176,7 @@ class TestPipelinedTracking:
             sys.track_monocular_with_pose(img, i * 0.1, T)
             states.append(sys.state)
         sys.flush_tracking()
-        assert sys.tracker._pending is None
+        assert not sys.tracker._pending
         ok_frames = sum(s == TrackState.OK for s in states)
         assert ok_frames > 23, f"only {ok_frames} OK: {states}"
         pts = sys.map_points()
