@@ -74,14 +74,18 @@ def main():
     # ... tan=1); a square 4096px/120 texture spans only +-17 units and
     # the camera flies off it at frame ~59 (image degrades to replicated
     # border -> tracking starves).  Strip covers x in [-13, 72], y +-12.8.
-    world = synth.make_world(seed=7, tex_size=4096, scale=120.0,
-                             tex_shape=(3072, 10240),
-                             origin_px=(1560.0, 1536.0))
     # warm-up must cover every padded-shape bucket the measured window
     # will hit (the axon remote-compile relay has no persistent cache,
     # so any bucket first seen during measurement costs a full compile)
     n_warm = int(os.environ.get("BENCH_WARM", "16"))
     n_meas = int(os.environ.get("BENCH_MEAS", "100"))
+    # strip width scales with the sweep length (0.5 units/frame,
+    # +-12-unit footprint + margin) so longer runs never fly off the
+    # texture: at the default 116 frames, x spans [-13, ~72]
+    need_px = int((13 + 0.5 * (n_warm + n_meas) + 14) * 120.0)
+    world = synth.make_world(seed=7, tex_size=4096, scale=120.0,
+                             tex_shape=(3072, max(10240, need_px)),
+                             origin_px=(1560.0, 1536.0))
     poses = synth.aerial_trajectory(n_warm + n_meas, height=12.0, speed=0.5)
     # 8-bit frames, like the reference's camera input (cv::Mat CV_8U)
     frames_np = [np.clip(synth.render(world, cam, T), 0, 255)
