@@ -87,6 +87,11 @@ class SlamConfig:
     # Throughput mode for camera-rate deployments; default off
     # (deterministic same-frame semantics for tests/tools).
     pipelined_tracking: bool = False
+    # max fused steps in flight before the oldest MUST be consumed.
+    # 2 = classic one/two-frame lag; with the device recurrence the
+    # host consume is pure bookkeeping, so deeper pipelines only delay
+    # keyframe decisions (lag x frame period), not tracking itself
+    pipeline_depth: int = 2
 
     @property
     def max_frames_between_kf(self) -> int:

@@ -159,6 +159,7 @@ class System:
     def reset(self):
         """System/Tracking::Reset (src/Tracking.cc:1009-1052)."""
         self.tracker._pending = []  # drop any in-flight pipelined frames
+        self.tracker._chain = None
         self.flush_mapping()  # reference's blocking reset handshake
         self.store = MapStore(dev_capacity=self.cfg.device_point_capacity)
         self.store.set_scale_info(self.cfg.orb.scale_factor, self.cfg.orb.n_levels)

@@ -135,18 +135,15 @@ def _frustum_search_fused(pos, normal, min_d, max_d, pvalid, desc,
     return fr.visible, r, new_gate, old_gate
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale",
-    "th_last", "th_local", "chi2"))
-def _track_prior_step(Tcw,
-                      pt_pos, pt_desc, pt_normal, pt_min, pt_max,
-                      pt_alive,
-                      bound_pid_rows, last_rows, cand_rows,
-                      last_octave_all, last_desc_all, last_angle_all,
-                      kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
-                      scale_factors, inv_sigma2,
-                      fx, fy, cx, cy, bounds, n_levels, log_scale,
-                      th_last, th_local, chi2):
+def _prior_step_core(Tcw,
+                     pt_pos, pt_desc, pt_normal, pt_min, pt_max,
+                     pt_alive,
+                     bound_pid_rows, last_rows, cand_rows,
+                     last_octave_all, last_desc_all, last_angle_all,
+                     kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
+                     scale_factors, inv_sigma2,
+                     fx, fy, cx, cy, bounds, n_levels, log_scale,
+                     th_last, th_local, chi2):
     """The ENTIRE steady-state pose-prior tracking step in ONE dispatch:
 
     1. project last frame's bound map points with the trusted pose and
@@ -233,10 +230,91 @@ def _track_prior_step(Tcw,
     c2n = jnp.sum(d * d, -1) * inv_sigma2[kp_octave[r2.idx]]
     keep_new = r2.valid & (z2 > 0) & (c2n <= chi2)
     # compact outputs: int16 indices + bit-packed masks — the result
-    # fetch drops from ~130 KB to ~45 KB through the link
+    # fetch drops from ~130 KB to ~45 KB through the link.  Leaves 0-5
+    # are the HOST-facing results (the only ones copied back); leaves
+    # 6-8 stay on device and seed the NEXT step's chain prologue
+    # (_track_prior_chain): the unpacked gate/keep masks and the bound
+    # rows this step actually used.
     return (res.idx.astype(jnp.int16), jnp.packbits(res.valid),
             jnp.packbits(gate), jnp.packbits(fr.visible),
-            r2.idx.astype(jnp.int16), jnp.packbits(keep_new))
+            r2.idx.astype(jnp.int16), jnp.packbits(keep_new),
+            gate, keep_new, bound_pid_rows)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale",
+    "th_last", "th_local", "chi2"))
+def _track_prior_step(Tcw,
+                      pt_pos, pt_desc, pt_normal, pt_min, pt_max,
+                      pt_alive,
+                      bound_pid_rows, last_rows, cand_rows,
+                      last_octave_all, last_desc_all, last_angle_all,
+                      kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
+                      scale_factors, inv_sigma2,
+                      fx, fy, cx, cy, bounds, n_levels, log_scale,
+                      th_last, th_local, chi2):
+    """Classic (host-prepared) step: the bound/last row vectors were
+    assembled by the host from the last CONSUMED frame's bindings.
+    Used to bootstrap after init/reloc/fallbacks; steady state runs
+    _track_prior_chain instead."""
+    return _prior_step_core(
+        Tcw, pt_pos, pt_desc, pt_normal, pt_min, pt_max, pt_alive,
+        bound_pid_rows, last_rows, cand_rows,
+        last_octave_all, last_desc_all, last_angle_all,
+        kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
+        scale_factors, inv_sigma2,
+        fx, fy, cx, cy, bounds, n_levels, log_scale,
+        th_last, th_local, chi2)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fx", "fy", "cx", "cy", "bounds", "n_levels", "log_scale",
+    "th_last", "th_local", "chi2"))
+def _track_prior_chain(Tcw,
+                       pt_pos, pt_desc, pt_normal, pt_min, pt_max,
+                       pt_alive,
+                       prev_bound_rows, prev_cand_rows,
+                       prev_ridx16, prev_r2idx16, prev_gate, prev_keep,
+                       cand_rows,
+                       last_octave_all, last_desc_all, last_angle_all,
+                       kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
+                       scale_factors, inv_sigma2,
+                       fx, fy, cx, cy, bounds, n_levels, log_scale,
+                       th_last, th_local, chi2):
+    """Device-resident tracking recurrence: reconstruct this step's
+    bound set from the PREVIOUS step's device outputs — no host consume
+    sits between two dispatches, so the result round trip leaves the
+    critical path entirely (the host reads results 1-2 frames behind,
+    purely for bookkeeping: bindings, keyframe decisions, counters).
+
+    Prologue: the previous step matched bound row i -> feature
+    ridx16[i] (kept iff gate[i]) and candidate row j -> feature
+    r2idx16[j] (kept iff keep[j]); the searches are disjoint over
+    features (the local-map search masks features the frame-to-frame
+    pass bound), so the union has at most n_features (<= L) entries.
+    A cumsum scatter compacts (pid_row, feature) pairs into the fixed
+    (L,) bound vectors; overflow and padding rows scatter to a
+    discarded slot L.  The host mirrors this derivation at consume
+    time to know which pids the outputs refer to."""
+    L = prev_bound_rows.shape[0]
+    pid_all = jnp.concatenate([prev_bound_rows,
+                               prev_cand_rows.astype(jnp.int32)])
+    row_all = jnp.concatenate([
+        prev_ridx16.astype(jnp.int32) & 0xFFFF,
+        prev_r2idx16.astype(jnp.int32) & 0xFFFF])
+    m = jnp.concatenate([prev_gate, prev_keep])
+    pos = jnp.cumsum(m) - 1
+    idx = jnp.where(m, jnp.minimum(pos, L - 1), L)
+    bound = jnp.full((L + 1,), -1, jnp.int32).at[idx].set(pid_all)[:L]
+    lrows = jnp.zeros((L + 1,), jnp.int32).at[idx].set(row_all)[:L]
+    return _prior_step_core(
+        Tcw, pt_pos, pt_desc, pt_normal, pt_min, pt_max, pt_alive,
+        bound, lrows, cand_rows,
+        last_octave_all, last_desc_all, last_angle_all,
+        kp_xy, kp_octave, kp_desc, kp_valid, kp_angle,
+        scale_factors, inv_sigma2,
+        fx, fy, cx, cy, bounds, n_levels, log_scale,
+        th_last, th_local, chi2)
 
 
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
@@ -295,8 +373,14 @@ class Tracker:
         # the end of each tracked frame for the next one
         self._prep = None
         # in-flight pipelined frames, oldest first: list of
-        # (frame, Future of host results); up to 2 deep (adaptive lag)
+        # (frame, out leaves, meta); up to 2 deep (adaptive lag)
         self._pending = []
+        # device-resident tracking recurrence state: the previous
+        # dispatched step's device outputs + the frame/cand handles it
+        # used (see _track_prior_chain).  None = next dispatch is a
+        # classic host-prepared step
+        self._chain = None
+        self._last_meta = None  # meta of the most recent dispatch
 
         cam = config.cam
         self._cam_tuple = (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy))
@@ -420,6 +504,7 @@ class Tracker:
                 self.state = TrackState.LOST
                 self.velocity = None
                 self._prep = None
+                self._chain = None
                 do_reset = (self.store.n_valid_keyframes() <= 5
                             and self.on_reset is not None)
 
@@ -460,6 +545,7 @@ class Tracker:
                 self.state = TrackState.LOST
                 self.velocity = None
                 self._prep = None
+                self._chain = None
                 do_reset = (self.store.n_valid_keyframes() <= 5
                             and self.on_reset is not None)
             if do_prep and self.state == TrackState.OK \
@@ -527,6 +613,11 @@ class Tracker:
         else:
             with self.store.lock:
                 ok = self._track_reference_kf(pframe)
+        if verdict != "ok":
+            # the device recurrence no longer matches host bindings
+            # (fallback rebinding / loss): bootstrap the next dispatch
+            # from a fresh host prep
+            self._chain = None
         if ok and not fused_done:
             with self.store.lock:
                 ok = self._track_local_map(pframe)
@@ -555,7 +646,7 @@ class Tracker:
             # dispatch's round trip is paid in full again (and the prep
             # is rebuilt twice).  One-in one-out keeps the queue primed
             # at depth 2 and the head always arrived by consume time
-            if len(self._pending) >= 2:
+            if len(self._pending) >= self.cfg.pipeline_depth:
                 self._consume_head()
         if self.state != TrackState.OK:
             # drain whatever is still in flight with full semantics so
@@ -576,7 +667,7 @@ class Tracker:
         # landed (a background reader thread issuing jax.device_get
         # instead costs a blocking RPC that contends with every other
         # tunnel transfer - measured 31-51 ms at consume time)
-        self._pending.append((frame, out, self._prep))
+        self._pending.append((frame, out, self._last_meta))
         return frame
 
     def flush(self):
@@ -991,23 +1082,58 @@ class Tracker:
             # atomic generation snapshot: the mapper's sync() may swap
             # the device arrays concurrently (async_mapping mode)
             dp_arrs = self.store.dev_points.snapshot()
-            out = _track_prior_step(
-                jnp.asarray(frame.Tcw),
-                *dp_arrs,
-                p["bound_pid_rows"], p["last_rows"], p["cand_rows"],
-                last.dev("octave"), last.dev("desc"), last.dev("angle"),
-                frame.dev("xy"), frame.dev("octave"), frame.dev("desc"),
-                frame.dev("valid"), frame.dev("angle"),
-                self._j_scales, self._j_inv_sigma2,
-                fx, fy, cx, cy, self.bounds,
-                self.cfg.orb.n_levels, self.log_scale,
-                7.0, th_local, self.cfg.chi2_mono)
+            ch = self._chain if self.cfg.pipelined_tracking else None
+            if ch is not None:
+                # host mirror of the chain prologue happens at consume
+                # time: this meta tells the consumer HOW to derive the
+                # bound pid list from its parent's consumed masks
+                self._last_meta = dict(
+                    lazy=True, parent=self._last_meta,
+                    cand_pids=p["cand_pids"], frame=frame)
+                # recurrence: last step's device outputs seed this
+                # step's bound set — no host consume in between
+                out = _track_prior_chain(
+                    jnp.asarray(frame.Tcw),
+                    *dp_arrs,
+                    ch["bound_rows"], ch["cand_rows"],
+                    ch["ridx"], ch["r2idx"], ch["gate"], ch["keep"],
+                    p["cand_rows"],
+                    ch["frame"].dev("octave"), ch["frame"].dev("desc"),
+                    ch["frame"].dev("angle"),
+                    frame.dev("xy"), frame.dev("octave"),
+                    frame.dev("desc"),
+                    frame.dev("valid"), frame.dev("angle"),
+                    self._j_scales, self._j_inv_sigma2,
+                    fx, fy, cx, cy, self.bounds,
+                    self.cfg.orb.n_levels, self.log_scale,
+                    7.0, th_local, self.cfg.chi2_mono)
+            else:
+                self._last_meta = p
+                out = _track_prior_step(
+                    jnp.asarray(frame.Tcw),
+                    *dp_arrs,
+                    p["bound_pid_rows"], p["last_rows"], p["cand_rows"],
+                    last.dev("octave"), last.dev("desc"),
+                    last.dev("angle"),
+                    frame.dev("xy"), frame.dev("octave"),
+                    frame.dev("desc"),
+                    frame.dev("valid"), frame.dev("angle"),
+                    self._j_scales, self._j_inv_sigma2,
+                    fx, fy, cx, cy, self.bounds,
+                    self.cfg.orb.n_levels, self.log_scale,
+                    7.0, th_local, self.cfg.chi2_mono)
+            if self.cfg.pipelined_tracking:
+                self._chain = dict(
+                    frame=frame, cand_rows=p["cand_rows"],
+                    ridx=out[0], r2idx=out[4],
+                    gate=out[6], keep=out[7], bound_rows=out[8])
         # request the host copies BEFORE the hook dispatches the next
         # frame's extraction: the tunnel services requests in order, so
         # copies requested after a ~31 ms extract wait behind it and
         # the consume-time read degrades to a full round trip (36 ms
-        # measured) instead of ~0 on landed data
-        for leaf in out:
+        # measured) instead of ~0 on landed data.  Leaves 6-8 are
+        # device-only chain state - never copied
+        for leaf in out[:6]:
             leaf.copy_to_host_async()
         if pre_read_hook is not None:
             pre_read_hook()
@@ -1020,10 +1146,20 @@ class Tracker:
         src/Tracking.cc:641-666)."""
         if p is None:
             p = self._prep
+        if p.get("lazy") and "bound_pids" not in p:
+            # mirror the chain prologue's compaction: the parent step's
+            # gated frame-to-frame matches followed by its kept
+            # local-map matches, in row order (exactly the device
+            # cumsum-scatter order)
+            par = p["parent"]["res"]
+            p["bound_pids"] = np.concatenate([
+                par["bound_pids"][par["gate"]],
+                par["cand_pids"][par["keep"]]])
+            p["parent"] = None  # break the meta chain (no leak)
         import os as _os
         if _os.environ.get("ORB_TRACK_READ_DEBUG"):
             import time as _t
-            leaves = out if isinstance(out, (tuple, list)) else [out]
+            leaves = list(out[:6])
             ready = [bool(l.is_ready()) for l in leaves
                      if hasattr(l, "is_ready")]
             _t0 = _t.perf_counter()
@@ -1035,10 +1171,8 @@ class Tracker:
             print(f"# READ_DEBUG ready={ready} leaf0={d0:.1f}ms "
                   f"rest={d1:.1f}ms", flush=True)
         with self.timer.time("fused/read"):
-            if hasattr(out, "result"):   # pipelined: background reader
-                out = out.result()
             (ridx16, rvalid_p, gate_p, visible_p, r2idx16, keep_new_p) = \
-                jax.device_get(out)
+                jax.device_get(tuple(out[:6]))
         ridx = ridx16.astype(np.int64) & 0xFFFF  # int16 -> row index
         r2idx = r2idx16.astype(np.int64) & 0xFFFF
         unpack = lambda a, n: np.unpackbits(a)[:n].astype(bool)  # noqa: E731
@@ -1049,8 +1183,14 @@ class Tracker:
         visible = unpack(visible_p, Cp)
         keep_new = unpack(keep_new_p, Cp)
 
-        L = len(p["bound_idx"])
+        L = len(p["bound_pids"])
         C = len(p["cand_pids"])
+        # chain consumers derive the NEXT step's pid list from these
+        # masks - store them before any verdict-dependent early return
+        # (the device chain already used them regardless of verdicts)
+        p["res"] = dict(bound_pids=p["bound_pids"],
+                        cand_pids=p["cand_pids"],
+                        gate=gate[:L], keep=keep_new[:C])
         n_matches = int(rvalid[:L].sum())
         with self.timer.time("fused/apply"), self.store.lock:
             if n_matches < self.cfg.track_prior_min_matches:
