@@ -67,6 +67,11 @@ def main():
         # frame t+1 while the transfer streams in the background — the
         # host round-trip wait leaves the frame period
         pipelined_tracking=True,
+        # depth-3 batched consume: TWO steps' results fetched in ONE
+        # device_get every other frame — each frame pays half a tunnel
+        # round trip instead of one (the read is rt-bound, not
+        # bandwidth-bound)
+        pipeline_depth=3,
     )
 
     # long-strip world: the 116-frame sweep spans x in [0, 57.5] with a

@@ -61,6 +61,7 @@ class StageTimer:
     def __init__(self):
         self.total: Dict[str, float] = defaultdict(float)
         self.calls: Dict[str, int] = defaultdict(int)
+        self.maxv: Dict[str, float] = defaultdict(float)
 
     @contextmanager
     def time(self, stage: str):
@@ -68,8 +69,11 @@ class StageTimer:
         try:
             yield
         finally:
-            self.total[stage] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.total[stage] += dt
             self.calls[stage] += 1
+            if dt > self.maxv[stage]:
+                self.maxv[stage] = dt
 
     def report(self) -> Dict[str, Tuple[int, float, float]]:
         return {k: (self.calls[k], self.total[k],
@@ -79,10 +83,14 @@ class StageTimer:
     def reset(self):
         self.total.clear()
         self.calls.clear()
+        self.maxv.clear()
 
     def summary(self) -> str:
+        # max/call splits one-off costs (first-call compiles through the
+        # remote relay) from the steady-state mean the budget cares about
         lines = []
         for k, (n, tot, mean) in self.report().items():
             lines.append(f"{k:32s} {n:6d} calls  {tot:8.3f}s total  "
-                         f"{mean * 1e3:8.2f} ms/call")
+                         f"{mean * 1e3:8.2f} ms/call  "
+                         f"max {self.maxv[k] * 1e3:8.2f} ms")
         return "\n".join(lines)

@@ -183,3 +183,26 @@ class TestPipelinedTracking:
         assert len(pts) > 200
         assert np.median(np.abs(pts[:, 2])) < 0.08
         assert sys.store.n_valid_keyframes() >= 2
+
+    def test_depth3_batched_consume_quality(self, world):
+        """pipeline_depth=3: two steps' results are fetched in ONE
+        batched device_get every other frame (half a round trip per
+        frame through the tunnel).  Same quality bars as depth 2."""
+        poses = synth.aerial_trajectory(30, speed=0.3)
+        cfg = make_config(pose_prior=True)
+        cfg.pipelined_tracking = True
+        cfg.pipeline_depth = 3
+        sys = System(cfg, enable_loop_closing=False)
+        states = []
+        for i, T in enumerate(poses):
+            img = synth.render(world, CAM, T)
+            sys.track_monocular_with_pose(img, i * 0.1, T)
+            states.append(sys.state)
+        sys.flush_tracking()
+        assert not sys.tracker._pending
+        ok_frames = sum(s == TrackState.OK for s in states)
+        assert ok_frames > 23, f"only {ok_frames} OK: {states}"
+        pts = sys.map_points()
+        assert len(pts) > 200
+        assert np.median(np.abs(pts[:, 2])) < 0.08
+        assert sys.store.n_valid_keyframes() >= 2
