@@ -445,8 +445,15 @@ class Tracker:
                 if self.cfg.pipelined_tracking:
                     # results consumed 1-2 frames later; the async
                     # copies (requested inside _fused_dispatch) land in
-                    # the leaves' host caches on their own
-                    self._pending.append((frame, out, self._prep))
+                    # the leaves' host caches on their own.  The meta
+                    # MUST be _last_meta (what _fused_dispatch actually
+                    # recorded): with a live chain the dispatch took the
+                    # recurrence path and its masks decode via the lazy
+                    # parent-chain meta, not via _prep — appending _prep
+                    # here both misaligned the decode and left the lazy
+                    # meta unconsumed (KeyError 'res' at the next
+                    # consume, hit at a bench window boundary)
+                    self._pending.append((frame, out, self._last_meta))
                     return frame
                 verdict = self._fused_verdict(frame, out)
                 if verdict == "ok":
@@ -704,6 +711,9 @@ class Tracker:
         trajectories/maps or shutting down)."""
         while self._pending:
             self._finish_pending()
+        # a flush is a pipeline boundary: the next dispatch bootstraps
+        # from a fresh host prep instead of the device recurrence
+        self._chain = None
 
     # ------------------------------------------------------------------
     # initialization (src/Tracking.cc:392-573)

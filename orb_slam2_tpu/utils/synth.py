@@ -78,6 +78,75 @@ def render(world: PlanarWorld, cam: camera_mod.Intrinsics, Tcw: np.ndarray) -> n
         borderMode=cv2.BORDER_REPLICATE)
 
 
+def _render_plane_jit():
+    """Jitted homography warp (bilinear, border-replicate): the device
+    analogue of :func:`render`.  One compile per (texture, image) shape;
+    per-frame cost is one small dispatch instead of a 2.7 MB host
+    upload — pre-staging a benchmark sequence in HBM uploads only the
+    texture once."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("width", "height"))
+    def _warp(tex, Hinv, width, height):
+        yy, xx = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                              jnp.arange(width, dtype=jnp.float32),
+                              indexing="ij")
+        den = Hinv[2, 0] * xx + Hinv[2, 1] * yy + Hinv[2, 2]
+        den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        sx = (Hinv[0, 0] * xx + Hinv[0, 1] * yy + Hinv[0, 2]) / den
+        sy = (Hinv[1, 0] * xx + Hinv[1, 1] * yy + Hinv[1, 2]) / den
+        th, tw = tex.shape
+        sx = jnp.clip(sx, 0.0, tw - 1.0)
+        sy = jnp.clip(sy, 0.0, th - 1.0)
+        x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, tw - 2)
+        y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, th - 2)
+        fx = sx - x0
+        fy = sy - y0
+        v00 = tex[y0, x0]
+        v01 = tex[y0, x0 + 1]
+        v10 = tex[y0 + 1, x0]
+        v11 = tex[y0 + 1, x0 + 1]
+        out = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+               + fy * ((1 - fx) * v10 + fx * v11))
+        return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
+    return _warp
+
+
+_WARP_JIT = None
+
+
+def render_sequence_device(world: PlanarWorld, cam: camera_mod.Intrinsics,
+                           poses: List[np.ndarray]) -> list:
+    """Render a pose sequence ON DEVICE as uint8 frames (list of device
+    arrays).  Uploads the texture once; each frame is one warp dispatch.
+    Pixel-level semantics match :func:`render` + uint8 quantization
+    (bilinear sampling, border clamp)."""
+    global _WARP_JIT
+    import jax
+    import jax.numpy as jnp
+    if _WARP_JIT is None:
+        _WARP_JIT = _render_plane_jit()
+    K = np.asarray(cam.K)
+    W2T = world.world_to_tex()
+    # upload the texture as uint8 (4x less tunnel traffic), cast to
+    # f32 on device; make_world textures are already in [0, 255]
+    tex_u8 = jax.device_put(
+        np.clip(world.texture, 0, 255).astype(np.uint8))
+    tex_dev = jnp.asarray(tex_u8, jnp.float32)
+    frames = []
+    for Tcw in poses:
+        R, t = Tcw[:3, :3], Tcw[:3, 3]
+        H_world_img = K @ np.stack([R[:, 0], R[:, 1], t], axis=1)
+        H_tex_img = H_world_img @ np.linalg.inv(W2T)
+        Hinv = np.linalg.inv(H_tex_img).astype(np.float32)
+        frames.append(_WARP_JIT(tex_dev, jnp.asarray(Hinv),
+                                width=cam.width, height=cam.height))
+    return frames
+
+
 def aerial_trajectory(
     n_frames: int,
     height: float = 10.0,

@@ -184,6 +184,33 @@ class TestPipelinedTracking:
         assert np.median(np.abs(pts[:, 2])) < 0.08
         assert sys.store.n_valid_keyframes() >= 2
 
+    def test_flush_then_resume(self, world):
+        """Tracking must survive a mid-run flush_tracking (pipeline
+        drain) and keep going: the bench measures windows separated by
+        exactly this boundary.  Regression: the first dispatch after a
+        drain took the chain path against a stale device recurrence and
+        recorded a prep meta for a chain step — the NEXT consume then
+        crashed (KeyError 'res') and misdecoded bindings."""
+        poses = synth.aerial_trajectory(36, speed=0.3)
+        cfg = make_config(pose_prior=True)
+        cfg.pipelined_tracking = True
+        cfg.pipeline_depth = 3
+        sys = System(cfg, enable_loop_closing=False)
+        states = []
+        for i, T in enumerate(poses):
+            img = synth.render(world, CAM, T)
+            sys.track_monocular_with_pose(img, i * 0.1, T)
+            states.append(sys.state)
+            if i in (14, 24):  # two window boundaries mid-run
+                sys.flush_tracking()
+                assert not sys.tracker._pending
+        sys.flush_tracking()
+        ok_frames = sum(s == TrackState.OK for s in states)
+        assert ok_frames > 28, f"only {ok_frames} OK: {states}"
+        pts = sys.map_points()
+        assert len(pts) > 200
+        assert np.median(np.abs(pts[:, 2])) < 0.08
+
     def test_depth3_batched_consume_quality(self, world):
         """pipeline_depth=3: two steps' results are fetched in ONE
         batched device_get every other frame (half a round trip per
