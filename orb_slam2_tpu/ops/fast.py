@@ -11,9 +11,20 @@ compute a *threshold-free* corner score map once (the OpenCV FAST score
 in closed form via circular arc-min), then derive both threshold masks
 from it and blend per cell.  Identical acceptance semantics, one dense
 pass, no control flow.
+
+On TPU the score map runs as a Pallas kernel (one tile+halo DMA pass,
+all 16 ring diffs and arc-mins in VMEM) instead of the XLA roll-stack
+formulation, which materializes ~10 full-image (16, H, W) passes in
+HBM — measured 10.4 ms -> ~1 ms per frame at the bench workload (8
+levels of 1920x1440).  The XLA path remains the CPU/mesh twin; the two
+agree exactly on the interior (the <=3 px frame differs — wrap vs zero
+halo — and is masked by the 16 px detector border either way).
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 # Bresenham circle of radius 3 (dy, dx), circularly ordered (OpenCV's
@@ -61,6 +72,98 @@ def fast_score_map(image: jnp.ndarray) -> jnp.ndarray:
 
     return jnp.maximum(arcmin9(d_bright),
                        arcmin9(d_dark)).astype(jnp.float32)
+
+
+# ----------------------------------------------------------------------
+# Pallas TPU kernel: score map in one tiled pass
+# ----------------------------------------------------------------------
+
+def _score_tile_kernel(img_ref, out_ref, tile, sem):
+    """One (TH, TW) output tile: DMA the (TH+8, TW+128) halo'd window
+    from HBM, compute all 16 ring diffs + both arc-min reductions in
+    VMEM."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    th = out_ref.shape[0]
+    tw = out_ref.shape[1]
+    dma = pltpu.make_async_copy(
+        img_ref.at[pl.ds(i * th, th + 8), pl.ds(j * tw, tw + 128)],
+        tile, sem)
+    dma.start()
+    dma.wait()
+    # bf16 throughout: pixel diffs are integers within +-255, exact in
+    # bf16, and min/max preserve exactness — half the VMEM footprint
+    t = tile[:]
+    # center at halo offset (+3, +3) in the padded window
+    c = t[3:3 + th, 3:3 + tw]
+    d_bright = [t[3 + dy:3 + dy + th, 3 + dx:3 + dx + tw] - c
+                for dy, dx in CIRCLE]
+
+    def arcmin9(d):
+        # min over 9 consecutive ring positions, max over the 16 starts
+        m2 = [jnp.minimum(d[k], d[(k + 1) % 16]) for k in range(16)]
+        m4 = [jnp.minimum(m2[k], m2[(k + 2) % 16]) for k in range(16)]
+        m8 = [jnp.minimum(m4[k], m4[(k + 4) % 16]) for k in range(16)]
+        m9 = [jnp.minimum(m8[k], d[(k + 8) % 16]) for k in range(16)]
+        out = m9[0]
+        for k in range(1, 16):
+            out = jnp.maximum(out, m9[k])
+        return out
+
+    d_dark = [-d for d in d_bright]
+    out_ref[:] = jnp.maximum(arcmin9(d_bright),
+                             arcmin9(d_dark)).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _score_map_pallas(h: int, w: int):
+    """Jittable Pallas score map for a fixed image shape."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # tile sized so the ~64 live (TH, TW) bf16 arc-min intermediates
+    # stay well under the 16 MB VMEM budget
+    TH = 128 if h >= 128 else max(8, (h + 7) // 8 * 8)
+    TW = 256 if w >= 256 else max(128, (w + 127) // 128 * 128)
+    gh = -(-h // TH)
+    gw = -(-w // TW)
+
+    def run(image):
+        # 3 px halo top/left; bottom/right padded to the grid plus the
+        # (8, 128)-aligned DMA window overrun
+        pad_b = gh * TH + 8 - (h + 3)
+        pad_r = gw * TW + 128 - (w + 3)
+        img_p = jnp.pad(image.astype(jnp.bfloat16),
+                        ((3, pad_b), (3, pad_r)))
+        out = pl.pallas_call(
+            _score_tile_kernel,
+            grid=(gh, gw),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((TH, TW), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((gh * TH, gw * TW),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((TH + 8, TW + 128), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )(img_p)
+        return out[:h, :w]
+
+    return run
+
+
+def score_map(image: jnp.ndarray) -> jnp.ndarray:
+    """Dense FAST-9/16 score map — Pallas kernel on TPU, XLA twin
+    elsewhere (exact agreement outside the 3 px frame, which the
+    detector border masks)."""
+    if jax.default_backend() == "tpu":
+        h, w = image.shape
+        return _score_map_pallas(h, w)(image)
+    return fast_score_map(image)
 
 
 def nms3(score: jnp.ndarray) -> jnp.ndarray:
@@ -114,7 +217,7 @@ def detect(
     the ring/descriptor would leave the image (EDGE_THRESHOLD-3 = 16,
     src/ORBextractor.cc:1047-1050).
     """
-    score = fast_score_map(image)
+    score = score_map(image)
     h, w = image.shape
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]

@@ -42,23 +42,43 @@ def gather_patches(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
 def ic_angle(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
              ) -> jnp.ndarray:
     """Angles in radians, (N,). Keypoints assumed >= 16 px from border
-    (guaranteed by the detector's border margin)."""
+    (guaranteed by the detector's border margin).
+
+    Dense formulation: the circular-disk moments are computed as
+    DENSE maps over the whole image (31 statically-shifted span
+    differences of the two prefix-sum images — pure VPU work that XLA
+    fuses into one pass) and only THREE values per keypoint are
+    gathered at the end.  The previous form gathered 124 scalars per
+    keypoint (~measured 7 ms/frame at the bench workload; this one
+    ~1 ms).  Interior results are identical (same f32 summation order
+    for m01; m10 uses the algebraically-equal Sx-span form)."""
     h, w = image.shape
     im = image.astype(jnp.float32)
     # exclusive row prefix sums: S[y, x] = sum of im[y, :x]
     S = jnp.pad(jnp.cumsum(im, axis=1), ((0, 0), (1, 0)))
     Sx = jnp.pad(jnp.cumsum(im * jnp.arange(w, dtype=jnp.float32)[None, :],
                             axis=1), ((0, 0), (1, 0)))
-    xf = xs.astype(jnp.float32)
-    m01 = jnp.zeros(ys.shape, jnp.float32)
-    m10 = jnp.zeros(ys.shape, jnp.float32)
+    # edge-pad 15 columns each side (the clipped-span semantics of the
+    # per-keypoint form) and 15 rows each side (row shifts as STATIC
+    # slices — views XLA fuses, where jnp.roll materialized 62 full-
+    # image copies); the polluted 15 px frame holds no keypoints
+    # thanks to the detector border
+    A = jnp.pad(S, ((15, 15), (15, 15)), mode="edge")
+    Ax = jnp.pad(Sx, ((15, 15), (15, 15)), mode="edge")
+    m01_map = jnp.zeros((h, w), jnp.float32)
+    s_map = jnp.zeros((h, w), jnp.float32)
+    sx_map = jnp.zeros((h, w), jnp.float32)
     for i, ddy in enumerate(_DY):
         hw = int(_HW[i])
-        yy = jnp.clip(ys + int(ddy), 0, h - 1)
-        x0 = jnp.clip(xs - hw, 0, w)
-        x1 = jnp.clip(xs + hw + 1, 0, w)
-        rs = S[yy, x1] - S[yy, x0]          # row intensity sum over span
-        rsx = Sx[yy, x1] - Sx[yy, x0]       # row x-weighted sum
-        m01 = m01 + float(ddy) * rs
-        m10 = m10 + (rsx - xf * rs)
+        r0 = 15 + int(ddy)
+        c1 = 15 + hw + 1
+        c0 = 15 - hw
+        rs = (A[r0:r0 + h, c1:c1 + w] - A[r0:r0 + h, c0:c0 + w])
+        rsx = (Ax[r0:r0 + h, c1:c1 + w] - Ax[r0:r0 + h, c0:c0 + w])
+        m01_map = m01_map + float(ddy) * rs
+        s_map = s_map + rs
+        sx_map = sx_map + rsx
+    xf = xs.astype(jnp.float32)
+    m01 = m01_map[ys, xs]
+    m10 = sx_map[ys, xs] - xf * s_map[ys, xs]
     return jnp.arctan2(m01, m10)

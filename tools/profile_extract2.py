@@ -1,7 +1,8 @@
-"""Chip microbench of extractor stages with in-jit repetition: each
-stage runs R times over DIFFERENT inputs inside one jit and returns one
-tiny reduction, so the tunnel round trip is paid once per R executions.
-Per-exec = (wall - rt) / R."""
+"""Chip microbench of extractor stages with queued repetition: each
+stage is dispatched N times back-to-back (async through the tunnel) and
+ONE tiny read closes the batch — per-exec = (wall - rt) / N.  One
+compile per stage (unlike in-jit replication, which made the relay
+compile an 8x graph for ~30+ min)."""
 import os
 import sys
 import time
@@ -19,9 +20,10 @@ from orb_slam2_tpu.ops.extractor import (OrbParams, extract,
                                          features_per_level)
 
 P = OrbParams(n_features=4000, n_levels=8, scale_factor=1.2)
-R = 8
+N = 10
 rng = np.random.default_rng(0)
-imgs = jnp.asarray(rng.uniform(0, 255, (R, 1440, 1920)).astype(np.float32))
+imgs = [jnp.asarray(rng.uniform(0, 255, (1440, 1920)).astype(np.float32))
+        for _ in range(3)]
 
 f_tiny = jax.jit(lambda x: x + 1.0)
 jax.device_get(f_tiny(jnp.zeros(8)))
@@ -34,75 +36,75 @@ print(f"tunnel rt: {RT:.1f} ms", flush=True)
 budgets = features_per_level(P.n_features, P.n_levels, P.scale_factor)
 
 
-def bench(label, make_fn, n=3):
-    """make_fn() -> jitted callable over imgs returning a tiny array."""
-    fn = make_fn
-    out = fn(imgs)
-    jax.device_get(out)  # compile + land
+def first_leaf(out):
+    return jax.tree_util.tree_leaves(out)[0]
+
+
+def bench(label, fn, reps=3):
+    out = fn(imgs[0])
+    jax.device_get(first_leaf(out).ravel()[:1])  # compile + land
     best = 1e9
-    for _ in range(n):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        jax.device_get(fn(imgs))
+        for i in range(N):
+            out = fn(imgs[i % len(imgs)])
+        jax.device_get(first_leaf(out).ravel()[:1])
         best = min(best, time.perf_counter() - t0)
-    per = (best * 1e3 - RT) / R
+    per = (best * 1e3 - RT) / N
     print(f"{label:40s} {per:8.2f} ms/exec", flush=True)
+    return out
 
 
-def reduce_tree(t):
-    leaves = jax.tree_util.tree_leaves(t)
-    return sum(jnp.sum(l.astype(jnp.float32).ravel()[:4]) for l in leaves)
-
-
-@jax.jit
-def do_pyramid(ims):
-    return jnp.stack([reduce_tree(
-        pyramid.build_pyramid(ims[i], P.n_levels, P.scale_factor))
-        for i in range(R)])
+pyr_fn = jax.jit(lambda im: pyramid.build_pyramid(im, P.n_levels,
+                                                  P.scale_factor))
 
 
 @jax.jit
-def do_fast_all(ims):
-    out = []
-    for i in range(R):
-        lv = pyramid.build_pyramid(ims[i], P.n_levels, P.scale_factor)
-        out.append(reduce_tree([fast.detect(im_l, th_hi=P.th_fast_hi,
-                                            th_lo=P.th_fast_lo)
-                                for im_l in lv]))
-    return jnp.stack(out)
+def fast_all(im):
+    lv = pyramid.build_pyramid(im, P.n_levels, P.scale_factor)
+    return [fast.detect(im_l, th_hi=P.th_fast_hi, th_lo=P.th_fast_lo)
+            for im_l in lv]
 
 
 @jax.jit
-def do_fast_topk(ims):
-    out = []
-    for i in range(R):
-        lv = pyramid.build_pyramid(ims[i], P.n_levels, P.scale_factor)
-        parts = []
-        for l, (im_l, n_l) in enumerate(zip(lv, budgets)):
-            if n_l == 0:
-                continue
-            k, s = fast.detect(im_l, th_hi=P.th_fast_hi, th_lo=P.th_fast_lo)
-            parts.append(distribute.grid_topk(k, s, n_l))
-        out.append(reduce_tree(parts))
-    return jnp.stack(out)
+def fast_topk_all(im):
+    lv = pyramid.build_pyramid(im, P.n_levels, P.scale_factor)
+    outs = []
+    for l, (im_l, n_l) in enumerate(zip(lv, budgets)):
+        if n_l == 0:
+            continue
+        k, s = fast.detect(im_l, th_hi=P.th_fast_hi, th_lo=P.th_fast_lo)
+        outs.append(distribute.grid_topk(k, s, n_l))
+    return outs
 
 
 @jax.jit
-def do_blur_all(ims):
-    out = []
-    for i in range(R):
-        lv = pyramid.build_pyramid(ims[i], P.n_levels, P.scale_factor)
-        out.append(reduce_tree([pyramid.gaussian_blur_7x7(im_l)
-                                for im_l in lv]))
-    return jnp.stack(out)
+def blur_all(im):
+    lv = pyramid.build_pyramid(im, P.n_levels, P.scale_factor)
+    return [pyramid.gaussian_blur_7x7(im_l) for im_l in lv]
 
 
 @jax.jit
-def do_full(ims):
-    return jnp.stack([reduce_tree(extract(ims[i], P)) for i in range(R)])
+def no_brief(im):
+    """Everything except descriptors (angle still included)."""
+    lv = pyramid.build_pyramid(im, P.n_levels, P.scale_factor)
+    outs = []
+    for l, (im_l, n_l) in enumerate(zip(lv, budgets)):
+        if n_l == 0:
+            continue
+        k, s = fast.detect(im_l, th_hi=P.th_fast_hi, th_lo=P.th_fast_lo)
+        ys, xs, resp, valid = distribute.grid_topk(k, s, n_l)
+        ang = orientation.ic_angle(im_l, ys, xs)
+        b = pyramid.gaussian_blur_7x7(im_l)
+        outs.append((ys, xs, resp, valid, ang, b[:8, :8]))
+    return outs
 
 
-bench("pyramid (8 levels)", do_pyramid)
-bench("pyramid+fast ALL", do_fast_all)
-bench("pyramid+fast+topk ALL", do_fast_topk)
-bench("pyramid+blur ALL", do_blur_all)
-bench("FULL extract", do_full)
+full_fn = jax.jit(lambda im: extract(im, P))
+
+bench("pyramid (8 levels)", pyr_fn)
+bench("pyramid+fast ALL", fast_all)
+bench("pyramid+fast+topk ALL", fast_topk_all)
+bench("pyramid+blur ALL", blur_all)
+bench("ALL except brief", no_brief)
+bench("FULL extract", full_fn)
