@@ -67,11 +67,12 @@ def main():
         # frame t+1 while the transfer streams in the background — the
         # host round-trip wait leaves the frame period
         pipelined_tracking=True,
-        # depth-3 batched consume: TWO steps' results fetched in ONE
-        # device_get every other frame — each frame pays half a tunnel
-        # round trip instead of one (the read is rt-bound, not
-        # bandwidth-bound)
-        pipeline_depth=3,
+        # depth-N batched consume: (N-1) steps' results fetched in ONE
+        # device_get every (N-1) frames — each frame pays 1/(N-1) of a
+        # tunnel round trip instead of one (the read is rt-bound, not
+        # bandwidth-bound).  Depth 4 = frame-to-frame matching against
+        # frame t-3; the pose prior keeps the projection windows valid
+        pipeline_depth=int(os.environ.get("BENCH_PIPELINE_DEPTH", "3")),
     )
 
     # long-strip world: the 116-frame sweep spans x in [0, 57.5] with a
