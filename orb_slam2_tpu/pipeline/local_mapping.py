@@ -262,15 +262,26 @@ def gather_ba_problem(store: MapStore, kf_ids: List[int], inv_sigma2):
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",
                                              "iters"))
 def _sba_step_gathered(points0, obs_pt, kf_poses, xy_stack, oct_stack,
-                       inv_sigma2_lvl, obs_cam, obs_fi, obs_valid,
+                       inv_sigma2_lvl, obs_cam, obs_fi, n_obs,
                        fx, fy, cx, cy, iters, lam0=None):
     """Structure-BA chunk with measurements gathered on device from the
-    keyframes' resident feature arrays."""
+    keyframes' resident feature arrays.
+
+    Upload compression (the chip sits behind a ~13 MB/s tunnel that the
+    camera-rate tracking reads share): index vectors arrive as
+    uint16/uint8 and widen here; the validity mask never crosses the
+    link at all — padding is a SUFFIX, so it derives from the scalar
+    observation count.  The inlier verdicts return bit-packed (8x)."""
+    obs_pt = obs_pt.astype(jnp.int32)
+    obs_cam = obs_cam.astype(jnp.int32)
+    obs_fi = obs_fi.astype(jnp.int32)
+    obs_valid = jnp.arange(obs_pt.shape[0], dtype=jnp.int32) < n_obs
     obs_uv = xy_stack[obs_cam, obs_fi]
     obs_sig = inv_sigma2_lvl[oct_stack[obs_cam, obs_fi]]
-    return points_opt.optimize_points(
+    res = points_opt.optimize_points(
         points0, obs_pt, kf_poses, obs_uv, obs_sig, obs_valid,
         fx, fy, cx, cy, iters=iters, obs_cam=obs_cam, lam0=lam0)
+    return res.points, jnp.packbits(res.obs_inlier), res.lam
 
 
 def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
@@ -316,18 +327,25 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
             [store.kfs[k].frame.dev_padded("octave", n2) for k in kf_ids]
             + [store.kfs[kf_ids[0]].frame.dev_padded("octave", n2)]
             * (Kp - len(kf_ids)))
+        # compact index dtypes: local point/feature indices fit uint16
+        # (P <= 65536, feature rows < 65536) and the camera index fits
+        # uint8 when the local window pads to <= 256 keyframes — the
+        # upload halves/quarters.  Wider fallbacks keep correctness for
+        # oversized problems (one extra compiled dtype variant, only if
+        # ever hit).
+        pt_dt = np.uint16 if P <= 65536 else np.int32
+        cam_dt = np.uint8 if Kp <= 256 else np.int32
         pts_dev = jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0))))
-        obs_pt_dev = jnp.asarray(np.pad(obs_pt, (0, padO)))
+        obs_pt_dev = jnp.asarray(np.pad(obs_pt.astype(pt_dt), (0, padO)))
         poses_dev = jnp.asarray(poses_p.astype(np.float32))
-        obs_fi_dev = jnp.asarray(np.pad(meta_fi.astype(np.int32),
+        obs_fi_dev = jnp.asarray(np.pad(meta_fi.astype(np.uint16),
                                         (0, padO)))
-        obs_valid_dev = jnp.asarray(np.pad(np.ones(len(obs_kf), bool),
-                                           (0, padO)))
-        obs_cam_dev = jnp.asarray(np.pad(obs_kf, (0, padO)))
+        n_obs_dev = jnp.asarray(np.int32(len(obs_kf)))
+        obs_cam_dev = jnp.asarray(np.pad(obs_kf.astype(cam_dt), (0, padO)))
         isig_dev = jnp.asarray(inv_sigma2)
         chunk = 3
         done = 0
-        res = None
+        pts_out = inl_packed = None
         # explicit initial damping: one compiled variant (lam0=None
         # would trace a second specialization for the first chunk)
         lam_dev = jnp.full((P,), 1e-3, jnp.float32)
@@ -335,17 +353,16 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
             it = min(chunk, iters - done)
             # lam threads between chunks so the chunked solve matches a
             # single-call LM (a reset would re-try rejected steps)
-            res = _sba_step_gathered(
+            pts_out, inl_packed, lam_dev = _sba_step_gathered(
                 pts_dev, obs_pt_dev, poses_dev, xy_stack, oct_stack,
-                isig_dev, obs_cam_dev, obs_fi_dev, obs_valid_dev,
+                isig_dev, obs_cam_dev, obs_fi_dev, n_obs_dev,
                 fx, fy, cx, cy, it, lam0=lam_dev)
-            pts_dev = res.points
-            lam_dev = res.lam
+            pts_dev = pts_out
             done += it
-        new_pts_all, inl_all = jax.device_get((res.points, res.obs_inlier))
+        new_pts_all, inl_packed_h = jax.device_get((pts_out, inl_packed))
     with timer.time("sba/apply"):
         new_pts = new_pts_all[:len(pids)]
-        inl = inl_all[:len(obs_kf)]
+        inl = np.unpackbits(inl_packed_h)[:len(obs_kf)].astype(bool)
         store.mp_pos[np.asarray(pids, np.int64)] = new_pts
         # erase outlier observations (the reference's post-BA edge
         # removal, src/Optimizer.cc:560-600)

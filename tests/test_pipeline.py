@@ -211,6 +211,33 @@ class TestPipelinedTracking:
         assert len(pts) > 200
         assert np.median(np.abs(pts[:, 2])) < 0.08
 
+    def test_depth4_batched_consume_quality(self, world):
+        """pipeline_depth=4: THREE steps' results per batched read (a
+        third of a round trip per frame).  Frame-to-frame matching runs
+        against frame t-3; the pose prior keeps projection windows
+        valid, so the quality bars stay those of depth 2/3."""
+        poses = synth.aerial_trajectory(30, speed=0.3)
+        cfg = make_config(pose_prior=True)
+        cfg.pipelined_tracking = True
+        cfg.pipeline_depth = 4
+        sys = System(cfg, enable_loop_closing=False)
+        states = []
+        for i, T in enumerate(poses):
+            img = synth.render(world, CAM, T)
+            sys.track_monocular_with_pose(img, i * 0.1, T)
+            states.append(sys.state)
+            if i == 17:  # window boundary mid-run at depth 4
+                sys.flush_tracking()
+                assert not sys.tracker._pending
+        sys.flush_tracking()
+        assert not sys.tracker._pending
+        ok_frames = sum(s == TrackState.OK for s in states)
+        assert ok_frames > 23, f"only {ok_frames} OK: {states}"
+        pts = sys.map_points()
+        assert len(pts) > 200
+        assert np.median(np.abs(pts[:, 2])) < 0.08
+        assert sys.store.n_valid_keyframes() >= 2
+
     def test_depth3_batched_consume_quality(self, world):
         """pipeline_depth=3: two steps' results are fetched in ONE
         batched device_get every other frame (half a round trip per
