@@ -216,8 +216,11 @@ def _masked_kernel(d1_ref, d2_ref, rattr_ref, cattr_ref,
     dm = jnp.where(ok, d, MASK_D)
 
     i = pl.program_id(0)
-    cols = jax.lax.broadcasted_iota(jnp.float32, dm.shape, 1) + j * TILE
-    rows = jax.lax.broadcasted_iota(jnp.float32, dm.shape, 0) + i * TILE
+    # Mosaic's tpu.iota is integer-only; build f32 indices via int32
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, dm.shape, 1).astype(jnp.float32) + j * TILE
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, dm.shape, 0).astype(jnp.float32) + i * TILE
     key = dm * COL_STRIDE + cols                # f32-exact (< 2^24)
     ckey = dm * ROW_STRIDE + rows
 
@@ -299,6 +302,143 @@ def masked_top2_mutual(desc1, desc2, row_attr, col_attr,
     return (bkey[:, 0, :].reshape(N).astype(jnp.int32),
             skey[:, 0, :].reshape(N).astype(jnp.int32),
             ckey.astype(jnp.int32))
+
+
+def _epi_kernel(d1_ref, d2_ref, rattr_ref, cattr_ref,
+                bkey_ref, skey_ref, ckey_ref):
+    """Epipolar-gated variant of :func:`_masked_kernel` — the inner
+    loop of SearchForTriangulation (src/ORBmatcher.cc:853-1057): the
+    admissibility test is distance-to-epipolar-line instead of a
+    projection window.  Row attrs carry the PRE-NORMALIZED line of
+    feature i in image 2 (a, b, c scaled by 1/sqrt(a^2+b^2)), col attrs
+    the keypoint position and its chi2*sigma^2 threshold."""
+    j = pl.program_id(1)
+
+    d1 = d1_ref[:]
+    d2 = d2_ref[:]
+    dot = jnp.zeros((d1.shape[0], d2.shape[0]), jnp.float32)
+    for w in range(8):
+        a = _unpack_word_pm1(d1, w)
+        b = _unpack_word_pm1(d2, w)
+        dot = dot + jax.lax.dot_general(
+            a, b.T, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    d = (256.0 - dot) * 0.5
+
+    la = rattr_ref[0, 0, :][:, None]
+    lb = rattr_ref[0, 1, :][:, None]
+    lc = rattr_ref[0, 2, :][:, None]
+    rval = rattr_ref[0, 3, :][:, None]
+    kx = cattr_ref[0, 0, :][None, :]
+    ky = cattr_ref[0, 1, :][None, :]
+    thr = cattr_ref[0, 2, :][None, :]
+    cval = cattr_ref[0, 3, :][None, :]
+
+    e = la * kx + lb * ky + lc
+    ok = (rval > 0) & (cval > 0) & (e * e < thr)
+    dm = jnp.where(ok, d, MASK_D)
+
+    i = pl.program_id(0)
+    # Mosaic's tpu.iota is integer-only; build f32 indices via int32
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, dm.shape, 1).astype(jnp.float32) + j * TILE
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, dm.shape, 0).astype(jnp.float32) + i * TILE
+    key = dm * COL_STRIDE + cols
+    ckey = dm * ROW_STRIDE + rows
+
+    lb_ = jnp.min(key, axis=1)
+    key2 = jnp.where(key == lb_[:, None], MASK_D * COL_STRIDE + cols, key)
+    ls = jnp.min(key2, axis=1)
+    lc_ = jnp.min(ckey, axis=0)
+
+    @pl.when(j == 0)
+    def _():
+        bkey_ref[0, 0, :] = lb_
+        skey_ref[0, 0, :] = ls
+
+    @pl.when(j != 0)
+    def _():
+        b0 = bkey_ref[0, 0, :]
+        s0 = skey_ref[0, 0, :]
+        bkey_ref[0, 0, :] = jnp.minimum(b0, lb_)
+        skey_ref[0, 0, :] = jnp.minimum(jnp.maximum(b0, lb_),
+                                        jnp.minimum(s0, ls))
+
+    ckey_ref[0, 0, 0, :] = lc_
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def masked_top2_epi(desc1, desc2, row_attr, col_attr,
+                    interpret: bool = False):
+    """Epipolar-gated fused Hamming top-2 (SearchForTriangulation inner
+    loop).  row_attr: (N, 4) f32 [la, lb, lc, valid] with (la, lb, lc)
+    the epipolar line pre-normalized by 1/sqrt(la^2+lb^2); col_attr:
+    (M, 4) f32 [x, y, chi2_threshold, valid].  Returns packed keys like
+    :func:`masked_top2_mutual`."""
+    N, M = desc1.shape[0], desc2.shape[0]
+    assert N % TILE == 0 and M % TILE == 0, (N, M)
+    assert M <= COL_STRIDE and N <= ROW_STRIDE, (N, M)
+    grid = (N // TILE, M // TILE)
+
+    ra = jnp.zeros((N // TILE, 8, TILE), jnp.float32)
+    ra = ra.at[:, :4, :].set(
+        row_attr.T.reshape(4, N // TILE, TILE).transpose(1, 0, 2))
+    ca = jnp.zeros((M // TILE, 8, TILE), jnp.float32)
+    ca = ca.at[:, :4, :].set(
+        col_attr.T.reshape(4, M // TILE, TILE).transpose(1, 0, 2))
+
+    vec_i = pl.BlockSpec((1, 8, TILE), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vec_j = pl.BlockSpec((1, 8, TILE), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bkey, skey, ckey_part = pl.pallas_call(
+        _epi_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            vec_i, vec_j,
+        ],
+        out_specs=[vec_i, vec_i,
+                   pl.BlockSpec((1, 1, 8, TILE), lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N // TILE, 8, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((N // TILE, 8, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((N // TILE, M // TILE, 8, TILE),
+                                 jnp.float32),
+        ],
+        interpret=interpret,
+    )(desc1, desc2, ra, ca)
+    ckey = jnp.min(ckey_part[:, :, 0, :], axis=0).reshape(M)
+    return (bkey[:, 0, :].reshape(N).astype(jnp.int32),
+            skey[:, 0, :].reshape(N).astype(jnp.int32),
+            ckey.astype(jnp.int32))
+
+
+def masked_top2_epi_xla(desc1, desc2, row_attr, col_attr):
+    """Bit-exact XLA twin of :func:`masked_top2_epi` (oracle + the
+    non-TPU execution path)."""
+    from . import core
+    N, M = desc1.shape[0], desc2.shape[0]
+    d = core.hamming_matrix(desc1, desc2).astype(jnp.float32)
+    la, lb, lc, rval = [row_attr[:, k][:, None] for k in range(4)]
+    kx, ky, thr, cval = [col_attr[:, k][None, :] for k in range(4)]
+    e = la * kx + lb * ky + lc
+    ok = (rval > 0) & (cval > 0) & (e * e < thr)
+    dm = jnp.where(ok, d, MASK_D)
+    cols = jnp.arange(M, dtype=jnp.float32)[None, :]
+    rows = jnp.arange(N, dtype=jnp.float32)[:, None]
+    key = dm * COL_STRIDE + cols
+    ckey = dm * ROW_STRIDE + rows
+    bkey = jnp.min(key, axis=1)
+    key2 = jnp.where(key == bkey[:, None], MASK_D * COL_STRIDE + cols, key)
+    skey = jnp.min(key2, axis=1)
+    return (bkey.astype(jnp.int32), skey.astype(jnp.int32),
+            jnp.min(ckey, axis=0).astype(jnp.int32))
 
 
 def masked_top2_mutual_xla(desc1, desc2, row_attr, col_attr):

@@ -32,7 +32,14 @@ def _chebyshev_window_mask(xy1: jnp.ndarray, xy2: jnp.ndarray, radius) -> jnp.nd
 
 def _pallas_eligible(n_rows: int, n_cols: int) -> bool:
     """The fused Pallas projection-search kernel applies on TPU when the
-    padded shapes satisfy its tiling/stride limits."""
+    padded shapes satisfy its tiling/stride limits.
+
+    ``ORB_SLAM2_TPU_PALLAS_SEARCH=0`` forces the XLA twin everywhere
+    (A/B instrumentation: the twin is bit-exact, so flipping it is a
+    pure perf experiment)."""
+    import os
+    if os.environ.get("ORB_SLAM2_TPU_PALLAS_SEARCH", "1") == "0":
+        return False
     from . import pallas_hamming as ph
     return (ph._on_tpu() and n_rows % ph.TILE == 0
             and n_cols % ph.TILE == 0
@@ -342,14 +349,46 @@ def search_for_triangulation(
     near-epipole exclusion (src/ORBmatcher.cc:953-960: skip kp2 closer
     than 100 * scale[octave2] px^2 to the epipole of camera 1 in image 2).
     Caller pre-masks features that already have map points via valid*.
+
+    On TPU with %128-padded operands this runs as ONE fused Pallas
+    kernel (epipolar gate + Hamming + top-2 + column-best; the (N1, N2)
+    distance/mask matrices never reach HBM); elsewhere, or with BoW
+    node blocking requested, the dense XLA formulation runs.
     """
-    dist = core.hamming_matrix(desc1, desc2)
-    e2 = epipolar_distance_sq(xy1, xy2, F12)
-    epi_ok = e2 < epi_chi2 * sigma2_levels[octave2][None, :]
+    from . import pallas_hamming as ph
 
     dex = xy2[:, 0] - epipole2_uv[0]
     dey = xy2[:, 1] - epipole2_uv[1]
     far_from_epipole = (dex * dex + dey * dey) >= 100.0 * scale_factors[octave2]
+
+    if node1 is None and node2 is None and not check_rotation:
+        # epipolar lines of every row-1 feature in image 2, normalized
+        # so the kernel's point-line test is (a'x + b'y + c')^2 < thr
+        ones1 = jnp.ones_like(xy1[:, :1])
+        lines = jnp.concatenate([xy1, ones1], axis=1) @ F12   # (N1, 3)
+        den = lines[:, 0] ** 2 + lines[:, 1] ** 2
+        s = jax.lax.rsqrt(jnp.maximum(den, 1e-12))
+        row_attr = jnp.stack(
+            [lines[:, 0] * s, lines[:, 1] * s, lines[:, 2] * s,
+             valid1.astype(jnp.float32)], axis=1)
+        thr = epi_chi2 * sigma2_levels[octave2]
+        col_attr = jnp.stack(
+            [xy2[:, 0], xy2[:, 1], thr,
+             (valid2 & far_from_epipole).astype(jnp.float32)], axis=1)
+        fn = (ph.masked_top2_epi
+              if _pallas_eligible(desc1.shape[0], desc2.shape[0])
+              else ph.masked_top2_epi_xla)
+        bk, _, ck = fn(desc1, desc2, row_attr, col_attr)
+        best = bk // ph.COL_STRIDE
+        bidx = (bk % ph.COL_STRIDE).astype(jnp.int32)
+        col_row = (ck % ph.ROW_STRIDE).astype(jnp.int32)
+        rows = jnp.arange(best.shape[0], dtype=jnp.int32)
+        valid = (best <= TH_LOW) & (col_row[bidx] == rows)
+        return MatchResult(bidx, best, valid)
+
+    dist = core.hamming_matrix(desc1, desc2)
+    e2 = epipolar_distance_sq(xy1, xy2, F12)
+    epi_ok = e2 < epi_chi2 * sigma2_levels[octave2][None, :]
 
     mask = (
         valid1[:, None] & (valid2 & far_from_epipole)[None, :] & epi_ok

@@ -98,8 +98,24 @@ def extract(image: jnp.ndarray, params: OrbParams) -> Features:
             valid=valid,
         ))
 
-    return Features(*[jnp.concatenate([getattr(p, f) for p in parts], axis=0)
-                      for f in Features._fields])
+    out = Features(*[jnp.concatenate([getattr(p, f) for p in parts], axis=0)
+                     for f in Features._fields])
+    # Pad the SoA height to a multiple of 128 (extra rows valid=False).
+    # The fused Pallas top-2 search kernels (matching/pallas_hamming.py)
+    # tile in 128-wide blocks and require %128 operand heights; a raw
+    # n_features like 4000 would silently route every in-pipeline
+    # projection search to the XLA fallback twin.
+    pad = padded_feature_count(params.n_features) - out.n
+    if pad > 0:
+        out = Features(*[jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                         for a in out])
+    return out
+
+
+def padded_feature_count(n_features: int) -> int:
+    """SoA row count for a requested feature budget: next multiple of
+    128 (Pallas search-kernel tiling; see ``extract``)."""
+    return -(-n_features // 128) * 128
 
 
 @functools.lru_cache(maxsize=8)

@@ -336,14 +336,18 @@ def run_structure_ba(store: MapStore, kf_ids: List[int], cfg: SlamConfig,
         pt_dt = np.uint16 if P <= 65536 else np.int32
         cam_dt = np.uint8 if Kp <= 256 else np.int32
         pts_dev = jnp.asarray(np.pad(points0, ((0, P - len(pids)), (0, 0))))
-        obs_pt_dev = jnp.asarray(np.pad(obs_pt.astype(pt_dt), (0, padO)))
         poses_dev = jnp.asarray(poses_p.astype(np.float32))
         obs_fi_dev = jnp.asarray(np.pad(meta_fi.astype(np.uint16),
                                         (0, padO)))
-        n_obs_dev = jnp.asarray(np.int32(len(obs_kf)))
         obs_cam_dev = jnp.asarray(np.pad(obs_kf.astype(cam_dt), (0, padO)))
         isig_dev = jnp.asarray(inv_sigma2)
-        chunk = 3
+        obs_pt_dev = jnp.asarray(np.pad(obs_pt.astype(pt_dt), (0, padO)))
+        n_obs_dev = jnp.asarray(np.int32(len(obs_kf)))
+        # chunk of 5: each LM chunk re-linearizes once on entry, so
+        # fewer/larger chunks waste less (the one-assemble LM carries
+        # H/g only within a dispatch); ~22 ms of device time per chunk
+        # still lets the camera-rate tracking dispatch interleave
+        chunk = 5
         done = 0
         pts_out = inl_packed = None
         # explicit initial damping: one compiled variant (lam0=None

@@ -826,7 +826,11 @@ class Tracker:
         stacked-kernel row count at ONE static shape for the whole run
         (see Frame.compact)."""
         keep = np.asarray(keep, np.int64)
-        cap = self.factory.params.n_features
+        # compact to the PADDED capacity so init KFs land on the same
+        # static row count as every regular frame (Pallas search kernels
+        # need %128 heights; see ops.extractor.padded_feature_count)
+        from ..ops.extractor import padded_feature_count
+        cap = padded_feature_count(self.factory.params.n_features)
         if frame.n <= cap:
             return keep
         ukeep = np.unique(keep)

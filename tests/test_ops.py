@@ -166,8 +166,11 @@ class TestExtractor:
         params = extractor.OrbParams(n_features=500, n_levels=4)
         run = extractor.make_extractor(480, 640, params)
         feats = run(jnp.asarray(img))
-        assert feats.xy.shape == (500, 2)
-        assert feats.desc.shape == (500, 8)
+        # SoA height pads to the next multiple of 128 (Pallas search
+        # kernel tiling); extra rows are valid=False
+        assert feats.xy.shape == (512, 2)
+        assert feats.desc.shape == (512, 8)
+        assert not np.asarray(feats.valid)[500:].any()
         v = np.asarray(feats.valid)
         assert v.sum() > 300, f"only {v.sum()} valid"
         xy = np.asarray(feats.xy)[v]

@@ -86,6 +86,31 @@ class TestPointsOpt:
         assert np.median(err) < 0.02, np.median(err)
         assert np.asarray(res.obs_inlier).mean() > 0.9
 
+    def test_chunked_matches_single_call(self):
+        """Chunked LM (lam threaded between calls, as run_structure_ba
+        dispatches it) converges like one long call — the one-assemble
+        LM carries H/g inside a dispatch only, so chunk boundaries
+        re-linearize; the result must still land on the same optimum."""
+        cams, pts, (oc, op, ouv) = make_scene(noise=0.2, seed=6)
+        rng = np.random.default_rng(7)
+        pts0 = pts + rng.normal(0, 0.15, pts.shape).astype(np.float32)
+        res_one = points_opt.optimize_points(
+            jnp.asarray(pts0), jnp.asarray(op), jnp.asarray(cams[oc]),
+            jnp.asarray(ouv), jnp.ones(len(oc)), jnp.ones(len(oc), bool),
+            FX, FY, CX, CY, iters=10)
+        p = jnp.asarray(pts0)
+        lam = jnp.full((len(pts),), 1e-3)
+        for it in (5, 5):
+            r = points_opt.optimize_points(
+                p, jnp.asarray(op), jnp.asarray(cams[oc]),
+                jnp.asarray(ouv), jnp.ones(len(oc)), jnp.ones(len(oc), bool),
+                FX, FY, CX, CY, iters=it, lam0=lam)
+            p, lam = r.points, r.lam
+        d = np.linalg.norm(np.asarray(p) - np.asarray(res_one.points), axis=-1)
+        assert np.median(d) < 5e-3, np.median(d)
+        err = np.linalg.norm(np.asarray(p) - pts, axis=-1)
+        assert np.median(err) < 0.02, np.median(err)
+
 
 class TestBundleAdjust:
     def test_full_ba_convergence(self):

@@ -92,3 +92,44 @@ class TestMaskedTop2Mutual:
         np.testing.assert_array_equal(np.asarray(bk), np.asarray(bx))
         np.testing.assert_array_equal(np.asarray(sk), np.asarray(sx))
         np.testing.assert_array_equal(np.asarray(ck), np.asarray(cx))
+
+
+class TestMaskedTop2Epi:
+    """Epipolar-gated kernel (SearchForTriangulation inner loop) vs its
+    XLA twin — bit-exact in interpret mode."""
+
+    def _problem(self, seed, N=256, M=256):
+        rng = np.random.default_rng(seed)
+        d1 = rng.integers(0, 2 ** 32, (N, 8), dtype=np.uint64).astype(np.uint32)
+        d2 = rng.integers(0, 2 ** 32, (M, 8), dtype=np.uint64).astype(np.uint32)
+        d2[3] = d2[4] = d1[9]  # forced ties
+        # normalized epipolar lines: random direction + offset
+        th = rng.uniform(0, 2 * np.pi, N)
+        la, lb = np.cos(th), np.sin(th)
+        lc = rng.uniform(-50, 50, N)
+        row_attr = np.stack([
+            la, lb, lc, (rng.random(N) < 0.9).astype(float)],
+            axis=1).astype(np.float32)
+        col_attr = np.stack([
+            rng.uniform(0, 600, M), rng.uniform(0, 400, M),
+            rng.uniform(1, 400, M),   # chi2 * sigma2 thresholds
+            (rng.random(M) < 0.9).astype(float)], axis=1).astype(np.float32)
+        return (jnp.asarray(d1), jnp.asarray(d2),
+                jnp.asarray(row_attr), jnp.asarray(col_attr))
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_interpret_matches_xla(self, seed):
+        d1, d2, ra, ca = self._problem(seed)
+        bk, sk, ck = ph.masked_top2_epi(d1, d2, ra, ca, interpret=True)
+        bx, sx, cx = ph.masked_top2_epi_xla(d1, d2, ra, ca)
+        np.testing.assert_array_equal(np.asarray(bk), np.asarray(bx))
+        np.testing.assert_array_equal(np.asarray(sk), np.asarray(sx))
+        np.testing.assert_array_equal(np.asarray(ck), np.asarray(cx))
+
+    def test_multitile(self):
+        d1, d2, ra, ca = self._problem(5, N=512, M=384)
+        bk, sk, ck = ph.masked_top2_epi(d1, d2, ra, ca, interpret=True)
+        bx, sx, cx = ph.masked_top2_epi_xla(d1, d2, ra, ca)
+        np.testing.assert_array_equal(np.asarray(bk), np.asarray(bx))
+        np.testing.assert_array_equal(np.asarray(sk), np.asarray(sx))
+        np.testing.assert_array_equal(np.asarray(ck), np.asarray(cx))
