@@ -57,6 +57,18 @@ class SlamConfig:
     loop_consistency_threshold: int = 3  # src/LoopClosing.cc:60-61
     loop_sim3_min_inliers: int = 20     # src/LoopClosing.cc:380-402
     loop_min_total_matches: int = 40    # src/LoopClosing.cc:418-460
+    # Fix the loop transform's scale to 1 (6-DoF solve).  None = auto:
+    # fix in pose-prior mode.  Rationale: upstream ORB-SLAM2 sets
+    # bFixScale=true whenever the sensor provides metric scale
+    # (stereo/RGB-D; Sim3Solver.cc:41-46, Optimizer.cc:1014); the fork
+    # passes false everywhere because its code path is monocular
+    # (src/LoopClosing.cc:320,387,659) — but its trusted per-frame
+    # odometry prior IS metric, so a free scale only adds an
+    # unobservable DoF: on low-parallax scenes the reprojection
+    # constraints barely pin scale and a 10-15% scale error in the
+    # solved Sim3 warps the whole essential-graph correction (measured:
+    # corrected-map ATE 0.22 -> 0.78 from one such loop).
+    loop_fix_scale: bool | None = None
 
     # --- relocalization ---
     reloc_recent_kf_window: int = 10    # Map::GetLastKeyFrames period

@@ -62,6 +62,10 @@ class LoopCloser:
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.n_loops_closed = 0
         self.last_loop: Optional[dict] = None  # debug info for tests
+        # 6-DoF loop solve when the sensor scale is metric (see
+        # SlamConfig.loop_fix_scale): auto = pose-prior mode
+        self.fix_scale = (cfg.pose_prior if cfg.loop_fix_scale is None
+                          else bool(cfg.loop_fix_scale))
 
         cam = cfg.cam
         self._cam_tuple = (float(cam.fx), float(cam.fy),
@@ -207,6 +211,8 @@ class LoopCloser:
             midx = res.idx[:len(idx_cur)]
             rows = np.where(mvalid)[0]
             if len(rows) < self.cfg.loop_sim3_min_inliers:
+                log.debug("sim3 cand %d: bow matches %d < %d", cand,
+                          len(rows), self.cfg.loop_sim3_min_inliers)
                 continue
 
             # --- batched Sim3 RANSAC (replaces Sim3Solver::iterate) ---
@@ -233,8 +239,11 @@ class LoopCloser:
                 jnp.asarray(np.pad(me2, (0, padn))),
                 jnp.asarray(np.pad(np.ones(len(rows), bool), (0, padn))),
                 jnp.asarray(samples), fx, fy, cx, cy,
-                min_inliers=self.cfg.loop_sim3_min_inliers)
+                min_inliers=self.cfg.loop_sim3_min_inliers,
+                fix_scale=self.fix_scale)
             if not bool(rr.ok):
+                log.debug("sim3 cand %d: RANSAC failed (%d bow matches)",
+                          cand, len(rows))
                 continue
             S12 = np.asarray(rr.S12)
 
@@ -293,9 +302,11 @@ class LoopCloser:
                 jnp.asarray(np.pad(
                     1.0 / self.sigma2[fc.octave[fi_cand2]], (0, padm)).astype(np.float32)),
                 jnp.asarray(np.pad(np.ones(len(fi_cur2), bool), (0, padm))),
-                fx, fy, cx, cy, iters=8)
+                fx, fy, cx, cy, iters=8, fix_scale=self.fix_scale)
             n_inl = int(ores.n_inliers)
             if n_inl < self.cfg.loop_sim3_min_inliers:
+                log.debug("sim3 cand %d: OptimizeSim3 inliers %d < %d",
+                          cand, n_inl, self.cfg.loop_sim3_min_inliers)
                 continue
             S12 = np.asarray(ores.S12)
             inl = np.asarray(ores.inliers1 & ores.inliers2)[:len(fi_cur2)]
@@ -320,6 +331,8 @@ class LoopCloser:
                         loop_mps.append(pid)
             n_total = self._project_loop_points(kid, Scw, loop_mps, matched)
             if n_total < self.cfg.loop_min_total_matches:
+                log.debug("sim3 cand %d: total loop matches %d < %d",
+                          cand, n_total, self.cfg.loop_min_total_matches)
                 continue
             return cand, Scw, loop_mps, matched
         return None

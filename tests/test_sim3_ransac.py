@@ -99,3 +99,47 @@ def test_sim3_ransac_padding_invalid_rows():
     assert bool(res.ok)
     # padded rows can never be inliers
     assert not np.asarray(res.inliers)[n:].any()
+
+
+def test_sim3_ransac_fix_scale():
+    """6-DoF mode (loop_fix_scale / pose-prior): the solved transform
+    has scale exactly 1 and still recovers R, t of an SE3 ground truth
+    (the reference's bFixScale path, src/Sim3Solver.cc:400)."""
+    S12_gt, p1, p2, uv1, uv2, n_out = _make_problem(seed=5, scale=1.0)
+    n = len(p1)
+    rng = np.random.default_rng(7)
+    samples = rng.integers(0, n, (256, 3)).astype(np.int32)
+    me = np.full(n, 9.21 * 1.0, np.float32)
+    res = sim3_ransac.sim3_ransac(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(uv1),
+        jnp.asarray(uv2), jnp.asarray(me), jnp.asarray(me),
+        jnp.asarray(np.ones(n, bool)), jnp.asarray(samples),
+        FX, FY, CX, CY, min_inliers=20, fix_scale=True)
+    assert bool(res.ok)
+    s_est = float(np.asarray(sim3_mod.scale(res.S12)))
+    assert abs(s_est - 1.0) < 1e-6
+    p1_est = np.asarray(sim3_mod.apply(res.S12[None],
+                                       jnp.asarray(p2)[None])[0])
+    err = np.linalg.norm(p1_est[:-n_out] - p1[:-n_out], axis=-1)
+    assert np.median(err) < 0.05
+
+
+def test_optimize_sim3_fix_scale_keeps_unit_scale():
+    from orb_slam2_tpu.optim import sim3_opt
+    S12_gt, p1, p2, uv1, uv2, n_out = _make_problem(seed=9, scale=1.0)
+    n = len(p1)
+    # fix_scale FREEZES the scale DOF at its init (g2o's
+    # VertexSim3Expmap._fix_scale semantics, Optimizer.cc:1014); the
+    # pipeline always hands it the fixed-scale RANSAC result (s = 1).
+    # Perturb the POSE, keep s0 = 1: refine must recover R, t with the
+    # scale pinned at exactly 1.
+    S0 = np.asarray(S12_gt).copy()
+    S0[4] += 0.1   # translation x
+    res = sim3_opt.optimize_sim3(
+        jnp.asarray(S0), jnp.asarray(p1), jnp.asarray(p2),
+        jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32),
+        jnp.asarray(np.ones(n, bool)),
+        FX, FY, CX, CY, iters=10, fix_scale=True)
+    s_est = float(np.asarray(sim3_mod.scale(res.S12)))
+    assert abs(s_est - 1.0) < 1e-6
