@@ -93,6 +93,32 @@ def _solve_dlt_rows(A: jnp.ndarray) -> jnp.ndarray:
     return x + solve3x3(H, r)
 
 
+def triangulate_dlt_pairs_np(P1, P2, uv1, uv2):
+    """NumPy twin of :func:`triangulate_dlt_pairs` (f64): host-side
+    re-triangulation of the few ACCEPTED matches after the device
+    kernel has run all gates.  Shipping only pass/fail bits + indices
+    over the chip link and recomputing the 3D points here cuts the
+    triangulation readback ~5x (the (N,3) f32 point block was the bulk
+    of it); the f64 normal equations need no iterative refinement."""
+    import numpy as np
+
+    def rows(P, uv):
+        r0 = uv[..., 0:1] * P[..., 2, :] - P[..., 0, :]
+        r1 = uv[..., 1:2] * P[..., 2, :] - P[..., 1, :]
+        return r0, r1
+
+    a0, a1 = rows(P1[None, :, :].astype(np.float64), uv1.astype(np.float64))
+    a2, a3 = rows(P2.astype(np.float64), uv2.astype(np.float64))
+    A = np.stack([a0, a1, a2, a3], axis=-2)          # (N, 4, 4)
+    A = A / (np.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
+    A3 = A[..., :3]
+    a4 = A[..., 3]
+    H = np.einsum("nri,nrj->nij", A3, A3)
+    b = -np.einsum("nri,nr->ni", A3, a4)
+    return np.linalg.solve(H + 1e-12 * np.eye(3),
+                           b[..., None])[..., 0].astype(np.float32)
+
+
 class TriangulationCheck(NamedTuple):
     good: jnp.ndarray        # (N,) bool — passes all gates
     parallax_cos: jnp.ndarray  # (N,) cosine of triangulation angle

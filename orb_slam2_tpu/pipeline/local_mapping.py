@@ -70,6 +70,22 @@ def _fuse_stack_impl(pos, normal, min_d, max_d, pvalid, desc,
     return jax.lax.map(body, (Tcw_s, kxy_s, koct_s, kdesc_s, kvalid_s))
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_matches(sfeat, cap):
+    """(..., P) int16 matched-feature-or--1 -> (flat positions (cap,)
+    int32, feature ids (cap,) int16, total match count).
+
+    The fuse stage's result matrix is ~97% -1 sentinels; shipping only
+    the matched entries cuts its readback ~8x through the chip link.
+    ``count > cap`` (never seen at reference scale) makes the caller
+    fall back to fetching the full matrix it still holds."""
+    flat = sfeat.reshape(-1)
+    matched = flat >= 0
+    order = jnp.argsort(~matched, stable=True)   # matched first, in order
+    rows = order[:cap].astype(jnp.int32)
+    return rows, flat[rows], jnp.sum(matched)
+
+
 def _unpack_mask(packed, n):
     """Device-side np.packbits inverse: (B, n/8) uint8 -> (B, n) bool
     (big-endian bit order, matching numpy's default)."""
@@ -219,7 +235,12 @@ def _triangulate_neighbors_fused(
     good = (has & chk.good
             & (ratio_dist < ratio_oct * scale_ratio_factor)
             & (ratio_dist > ratio_oct / scale_ratio_factor))
-    return good, X, nb, col, has
+    # compact readback: pass/fail bits + small-int indices only.  The
+    # accepted points' 3D positions are re-triangulated on the host
+    # from the same (uv1, uv2, poses) — the (N1, 3) f32 block was ~70%
+    # of this stage's ~280 KB/KF transfer through the chip link.
+    return (jnp.packbits(good), nb.astype(jnp.uint8),
+            col.astype(jnp.uint16), jnp.packbits(has))
 
 
 def gather_ba_problem(store: MapStore, kf_ids: List[int], inv_sigma2):
@@ -688,24 +709,46 @@ class LocalMapper:
                     fx, fy, cx, cy, float(1.5 * cfg.orb.scale_factor)))
             out = jax.device_get(parts)
             # merge: first chunk with a match wins (neighbor order)
-            good, X, nb, col, has = out[0]
-            good, X, nb, col = (np.array(good), np.array(X),
-                                np.array(nb), np.array(col))
-            claimed = np.array(has)
+            N1 = f1.n
+
+            def unpack(ch):
+                gb, nb_c, col_c, hb = ch
+                return (np.unpackbits(gb)[:N1].astype(bool),
+                        np.asarray(nb_c, np.int64),
+                        np.asarray(col_c, np.int64),
+                        np.unpackbits(hb)[:N1].astype(bool))
+
+            good, nb, col, claimed = unpack(out[0])
             for ci in range(1, n_ch):
-                g2, X2, nb2, col2, h2 = out[ci]
-                fresh = ~claimed & np.array(h2)
+                g2, nb2, col2, h2 = unpack(out[ci])
+                fresh = ~claimed & h2
                 good[fresh] = g2[fresh]
-                X[fresh] = X2[fresh]
                 nb[fresh] = nb2[fresh] + ci * CH
                 col[fresh] = col2[fresh]
-                claimed |= np.array(h2)
+                claimed |= h2
 
         with self.timer.time("tri/apply"):
             rows = np.where(good)[0]
             elig_kids = np.array([e[0] for e in elig], np.int32)
             kid2_arr = elig_kids[nb[rows]]
             cols = col[rows].astype(np.int32)
+            # re-triangulate the accepted matches on host (f64 DLT; the
+            # kernel already applied every gate to ITS triangulation)
+            P1m = triangulate.projection_matrix(
+                jnp.asarray(K.astype(np.float32)), jnp.asarray(kf1.Tcw))
+            P1m = np.asarray(P1m)
+            Tcw2_rows = np.stack([store.kfs[int(k)].Tcw
+                                  for k in kid2_arr]) \
+                if len(rows) else np.zeros((0, 4, 4), np.float32)
+            P2m = (K[None].astype(np.float64) @ Tcw2_rows[:, :3, :4]
+                   ).astype(np.float32)
+            uv2m = np.stack([store.kfs[int(k)].frame.xy[c]
+                             for k, c in zip(kid2_arr, cols)]) \
+                if len(rows) else np.zeros((0, 2), np.float32)
+            X = np.zeros((N1, 3), np.float32)
+            if len(rows):
+                X[rows] = triangulate.triangulate_dlt_pairs_np(
+                    P1m, P2m, f1.xy[rows], uv2m)
             # claim semantics of the old sequential loop: skip rows
             # whose f1 feature is already bound, whose target feature
             # is already bound, or whose (kid2, col) slot an earlier
@@ -848,9 +891,27 @@ class LocalMapper:
                 f0.dev("valid"),
                 self._j_scales, fx, fy, cx, cy, bounds,
                 cfg.orb.n_levels, self.log_scale, th=3.0, ratio=1.0)
-            # ONE batched read for all chunks + the reverse direction
+            # ONE batched read of the COMPACTED match lists (plus the
+            # rare full-matrix fallback when a chunk overflows the cap)
+            FUSE_CAP = 2048
+            comp = [_compact_matches(p, FUSE_CAP) for p in fwd_parts]
+            rev_comp = _compact_matches(rev_dev, FUSE_CAP)
             with self.timer.time("fuse/read"):
-                parts, rev_feat = jax.device_get((fwd_parts, rev_dev))
+                comp_h, rev_h = jax.device_get((comp, rev_comp))
+
+            def decode(shape, comp_hc, full_handle):
+                rows_c, feats_c, count = comp_hc
+                count = int(count)
+                if count > FUSE_CAP:           # overflow: fetch it all
+                    return np.asarray(jax.device_get(full_handle),
+                                      np.int16).reshape(shape)
+                dense = np.full(int(np.prod(shape)), -1, np.int16)
+                dense[rows_c[:count]] = feats_c[:count]
+                return dense.reshape(shape)
+
+            parts = [decode((CH, P1), c, p)
+                     for c, p in zip(comp_h, fwd_parts)]
+            rev_feat = decode((P2,), rev_h, rev_dev)
             sfeat = np.concatenate(parts)
         with self.timer.time("fuse/apply"):
             for b, t in enumerate(target_kids):
