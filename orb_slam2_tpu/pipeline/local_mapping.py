@@ -81,8 +81,9 @@ def _compact_matches(sfeat, cap):
     fall back to fetching the full matrix it still holds."""
     flat = sfeat.reshape(-1)
     matched = flat >= 0
-    order = jnp.argsort(~matched, stable=True)   # matched first, in order
-    rows = order[:cap].astype(jnp.int32)
+    # nonzero(size=) lowers to cumsum + gather — a full argsort here
+    # measured ~40 ms/KF of extra device time (TPU sorts are bitonic)
+    rows = jnp.nonzero(matched, size=cap, fill_value=0)[0].astype(jnp.int32)
     return rows, flat[rows], jnp.sum(matched)
 
 
@@ -733,20 +734,20 @@ class LocalMapper:
             kid2_arr = elig_kids[nb[rows]]
             cols = col[rows].astype(np.int32)
             # re-triangulate the accepted matches on host (f64 DLT; the
-            # kernel already applied every gate to ITS triangulation)
-            P1m = triangulate.projection_matrix(
-                jnp.asarray(K.astype(np.float32)), jnp.asarray(kf1.Tcw))
-            P1m = np.asarray(P1m)
-            Tcw2_rows = np.stack([store.kfs[int(k)].Tcw
-                                  for k in kid2_arr]) \
-                if len(rows) else np.zeros((0, 4, 4), np.float32)
-            P2m = (K[None].astype(np.float64) @ Tcw2_rows[:, :3, :4]
-                   ).astype(np.float32)
-            uv2m = np.stack([store.kfs[int(k)].frame.xy[c]
-                             for k, c in zip(kid2_arr, cols)]) \
-                if len(rows) else np.zeros((0, 2), np.float32)
+            # kernel already applied every gate to ITS triangulation).
+            # Grouped by neighbor so the per-row work is numpy-batched.
+            P1m = np.asarray(K.astype(np.float64) @ kf1.Tcw[:3, :4],
+                             np.float32)
             X = np.zeros((N1, 3), np.float32)
             if len(rows):
+                P2m = np.empty((len(rows), 3, 4), np.float32)
+                uv2m = np.empty((len(rows), 2), np.float32)
+                for k in np.unique(kid2_arr):
+                    m = kid2_arr == k
+                    kf2 = store.kfs[int(k)]
+                    P2m[m] = (K.astype(np.float64)
+                              @ kf2.Tcw[:3, :4]).astype(np.float32)
+                    uv2m[m] = kf2.frame.xy[cols[m]]
                 X[rows] = triangulate.triangulate_dlt_pairs_np(
                     P1m, P2m, f1.xy[rows], uv2m)
             # claim semantics of the old sequential loop: skip rows
